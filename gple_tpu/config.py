@@ -1,0 +1,152 @@
+"""Declarative runtime configuration.
+
+The reference scatters its configuration between an 8-field text file named
+``input`` (parsed at ``gaussian_process_liouville_equation/input.cpp:126-148``)
+and compile-time constants (model selection ``pes.h:38-41``, boundary condition
+``schrodinger_equation/general.h:95-97``, NumPES/Dim ``stdafx.h:111-119``).
+Here everything is one dataclass, constructible either directly or from the
+reference's ``input`` file format for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import numpy as np
+
+from gple_tpu.utils.constants import HBAR
+
+#: The number of grids per dimension for phase-space output
+#: (reference ``input.cpp:9`` MaximumGridsForOneDimension).
+MAX_GRIDS_PER_DIM = 200
+
+
+@dataclasses.dataclass(frozen=True)
+class GPLEConfig:
+    """Full configuration of a GPR-MQCLE run (reference ``input.h:10-168``)."""
+
+    # physics
+    model: str = "DAC"          # compile-time TestModel in the reference
+    num_pes: int = 2
+    dim: int = 1
+    mass: float = 2000.0
+    x0: float = -10.0
+    p0: float = 30.0
+    sigma_p0: float = 1.5       # sigma_x0 = hbar / (2 sigma_p0)
+    # numerics
+    output_time: float = 1.0
+    reopt_time: float = 1.0
+    dt: float = 0.1
+    num_points: int = 128       # training points per density-matrix element
+    extra_point_factor: int = 5  # reference main.cpp:35
+    dtype: str = "float64"
+    # initial electronic state (reference main.cpp:38-39)
+    initial_population: Tuple[float, float] = (1.0, 0.0)
+    initial_phase_factor: Tuple[float, float] = (0.0, 0.0)
+    seed: int = 0
+
+    # -- derived quantities (reference input.cpp:25-77) -----------------------
+    @property
+    def sigma_x0(self) -> float:
+        return HBAR / (2.0 * self.sigma_p0)
+
+    @property
+    def r0(self) -> np.ndarray:
+        return np.array([self.x0, self.p0])
+
+    @property
+    def sigma_r0(self) -> np.ndarray:
+        return np.array([self.sigma_x0, self.sigma_p0])
+
+    @property
+    def xmin(self) -> float:
+        return -2.0 * abs(self.x0)
+
+    @property
+    def xmax(self) -> float:
+        return 2.0 * abs(self.x0)
+
+    @property
+    def num_grids_per_dim(self) -> int:
+        span = self.xmax - self.xmin
+        min_dx = math.pi / 2.0 * HBAR / (self.p0 + 3.0 * self.sigma_p0)
+        return max(MAX_GRIDS_PER_DIM, int(span / min_dx) + 1)
+
+    @property
+    def dx(self) -> float:
+        return (self.xmax - self.xmin) / self.num_grids_per_dim
+
+    @property
+    def pmin(self) -> float:
+        return self.p0 - math.pi / 2.0 * HBAR / self.dx
+
+    @property
+    def pmax(self) -> float:
+        return self.p0 + math.pi / 2.0 * HBAR / self.dx
+
+    @property
+    def dp(self) -> float:
+        return (self.pmax - self.pmin) / self.num_grids_per_dim
+
+    @property
+    def rmin(self) -> np.ndarray:
+        return np.array([self.xmin, self.pmin])
+
+    @property
+    def rmax(self) -> np.ndarray:
+        return np.array([self.xmax, self.pmax])
+
+    @property
+    def output_freq(self) -> int:
+        return int(round(max(self.output_time, self.dt) / self.dt))
+
+    @property
+    def reopt_freq(self) -> int:
+        return int(round(max(self.reopt_time, self.dt) / self.dt))
+
+    @property
+    def total_ticks(self) -> int:
+        return int(2.0 * abs(2.0 * self.x0 * self.mass / self.p0) / self.dt)
+
+    @property
+    def num_extra_points(self) -> int:
+        return self.num_points * self.extra_point_factor
+
+    def phase_grids(self) -> np.ndarray:
+        """The (n_grid_total, 2) output grid over phase space (input.cpp:49-71)."""
+        n = self.num_grids_per_dim
+        xs = self.xmin + self.dx * np.arange(n)
+        ps = self.pmin + self.dp * np.arange(n)
+        gx, gp = np.meshgrid(xs, ps, indexing="ij")
+        return np.stack([gx.ravel(), gp.ravel()], axis=-1)
+
+    # -- reference `input` file compatibility ---------------------------------
+    @classmethod
+    def from_input_file(cls, path: str, **overrides) -> "GPLEConfig":
+        """Parse the reference's 8-field ``input`` format (input.cpp:84-148).
+
+        Format: alternating description line / value line with fields
+        mass, x0, p0, sigma_p0, output time, re-optimization time, dt, #points.
+        """
+        values = []
+        with open(path) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        # every second line is a value (description lines come first)
+        for i in range(1, len(lines), 2):
+            values.append(lines[i].split()[0])
+        if len(values) < 8:
+            raise ValueError(f"input file {path!r} has {len(values)} fields; need 8")
+        kw = dict(
+            mass=float(values[0]),
+            x0=float(values[1]),
+            p0=float(values[2]),
+            sigma_p0=float(values[3]),
+            output_time=float(values[4]),
+            reopt_time=float(values[5]),
+            dt=float(values[6]),
+            num_points=int(values[7]),
+        )
+        kw.update(overrides)
+        return cls(**kw)
