@@ -1,0 +1,209 @@
+"""Real Gaussian-process kernel for the diagonal density-matrix elements.
+
+TPU-first re-design of the reference real GPR stack
+(``gaussian_process_liouville_equation/kernel.{h,cpp}``):
+
+* kernel definition  k(x, x') = sigma_f^2 (exp(-1/2 sum_d ((x_d - x'_d)/l_d)^2)
+  + sigma_n^2 delta(x, x'))                            -- ``kernel.h:25-28``
+* label rescaling to max = 10                          -- ``kernel.h:37``, ``kernel.cpp:279-280``
+* Cholesky + K^-1 y + LOOCV squared error              -- ``kernel.cpp:281-285``
+* analytic population / <r> / purity integrals         -- ``kernel.cpp:286-335``
+* predictive mean / per-point variance / smoothstep
+  cutoff                                                -- ``kernel.cpp:481-544``, ``kernel.h:296-332``
+
+Design notes:
+
+* Points sit on ROWS: features are ``(N, PhaseDim)`` so the Gram construction
+  and predictive products are plain matmuls on the MXU.
+* The predictive variance uses one triangular solve against the cached
+  Cholesky factor instead of materializing K^-1 (the reference builds the full
+  inverse every rebuild, ``kernel.cpp:282``); K^-1's diagonal is only formed
+  inside the LOOCV loss.
+* **All hand-derived gradients of the reference (kernel.cpp:337-477) are
+  deleted**: every quantity here is a smooth jnp function of the parameters,
+  so ``jax.grad`` supplies exact derivatives for the optimizer.
+* Everything is shaped for ``vmap`` over density-matrix elements; no Python
+  control flow depends on data.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gple_tpu.utils.constants import purity_factor
+
+#: rescale target: max |label| -> 10 (reference kernel.h:37)
+RESCALE_MAXIMUM = 10.0
+#: cutoff connecting point: predictions below 2 sigma are suppressed (kernel.h:16)
+CONNECTING_POINT = 2.0
+
+
+class KernelParams(NamedTuple):
+    """(magnitude, lengths, noise) -- reference parameter order kernel.cpp:253-273."""
+
+    magnitude: jnp.ndarray   # scalar sigma_f
+    lengths: jnp.ndarray     # (PhaseDim,) characteristic lengths
+    noise: jnp.ndarray       # scalar relative noise sigma_n
+
+    @property
+    def num_params(self) -> int:
+        return 2 + self.lengths.shape[-1]
+
+    def to_flat(self) -> jnp.ndarray:
+        return jnp.concatenate(
+            [jnp.atleast_1d(self.magnitude), self.lengths, jnp.atleast_1d(self.noise)],
+            axis=-1,
+        )
+
+    @classmethod
+    def from_flat(cls, flat: jnp.ndarray) -> "KernelParams":
+        return cls(magnitude=flat[..., 0], lengths=flat[..., 1:-1], noise=flat[..., -1])
+
+
+def gram(lengths, xa, xb):
+    """Unit-magnitude RBF Gram matrix exp(-1/2 sum((a-b)/l)^2), (Na, Nb).
+
+    Broadcast-difference form: exact (no catastrophic cancellation) and cheap
+    at PhaseDim = 2; the Pallas fused kernel (ops/pallas_gram.py) replaces this
+    on TPU for large N.
+    """
+    za = xa / lengths
+    zb = xb / lengths
+    d2 = jnp.sum((za[..., :, None, :] - zb[..., None, :, :]) ** 2, axis=-1)
+    return jnp.exp(-0.5 * d2)
+
+
+def kernel_matrix(params: KernelParams, xa, xb, same: bool):
+    """Full kernel sigma_f^2 (G + sigma_n^2 I[same]), (Na, Nb)."""
+    g = gram(params.lengths, xa, xb)
+    if same:
+        g = g + params.noise**2 * jnp.eye(xa.shape[-2], dtype=g.dtype)
+    return params.magnitude**2 * g
+
+
+class RealTrainState(NamedTuple):
+    """Everything cached from one training-set factorization."""
+
+    params: KernelParams
+    features: jnp.ndarray        # (N, PhaseDim)
+    labels: jnp.ndarray          # (N,) rescaled real labels
+    rescale: jnp.ndarray         # scalar: labels = raw * rescale
+    chol: jnp.ndarray            # (N, N) lower Cholesky of K
+    alpha: jnp.ndarray           # (N,) K^-1 labels (rescaled)
+
+
+def fit_real(params: KernelParams, features, labels_raw) -> RealTrainState:
+    """Factorize the training kernel (reference TrainingKernel ctor).
+
+    ``labels_raw`` may be complex; only the real part carries information for
+    diagonal elements (kernel.cpp:279-283).
+    """
+    labels_real = jnp.real(labels_raw)
+    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-300)
+    y = labels_real * rescale
+    k = kernel_matrix(params, features, features, same=True)
+    chol = jnp.linalg.cholesky(k)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+    return RealTrainState(
+        params=params, features=features, labels=y, rescale=rescale, chol=chol, alpha=alpha
+    )
+
+
+def kinv_diagonal(state: RealTrainState) -> jnp.ndarray:
+    """diag(K^-1) from the Cholesky factor: rows of L^-1, squared and summed."""
+    n = state.chol.shape[0]
+    linv = jax.scipy.linalg.solve_triangular(
+        state.chol, jnp.eye(n, dtype=state.chol.dtype), lower=True
+    )
+    return jnp.sum(linv * linv, axis=0)
+
+
+def loocv_error(state: RealTrainState) -> jnp.ndarray:
+    """Leave-one-out CV squared error sum((alpha_i / K^-1_ii)^2) (kernel.cpp:285)."""
+    return jnp.sum((state.alpha / kinv_diagonal(state)) ** 2)
+
+
+def predict_real(state: RealTrainState, test_features, with_variance: bool = True):
+    """Mean, variance, and cutoff prediction at ``test_features`` (M, PhaseDim).
+
+    Returns ``(mean_raw, variance, cutoff_raw)`` where the means are unscaled
+    back to label units; variance is in rescaled units to match the cutoff
+    comparison of the reference (kernel.cpp:495-519).
+    """
+    k_star = kernel_matrix(state.params, test_features, state.features, same=False)
+    mean_scaled = k_star @ state.alpha
+    if not with_variance:
+        return mean_scaled / state.rescale, None, mean_scaled / state.rescale
+    # var_i = k(x_i, x_i) - || L^-1 k_star_i ||^2
+    z = jax.scipy.linalg.solve_triangular(state.chol, k_star.T, lower=True)
+    self_k = state.params.magnitude**2 * (1.0 + state.params.noise**2)
+    var = self_k - jnp.sum(z * z, axis=0)
+    cut = cutoff_factor(mean_scaled, var)
+    return mean_scaled / state.rescale, var, mean_scaled * cut / state.rescale
+
+
+def cutoff_factor(prediction, variance):
+    """Smoothstep suppression of low-signal predictions (kernel.h:296-332).
+
+    1 where |pred| >= 2 sqrt(var); 0 where |pred| <= sqrt(var); smooth cubic
+    in between.  Branch-free for TPU.
+    """
+    c = CONNECTING_POINT
+    var = jnp.maximum(variance, 1e-300)
+    t = jnp.abs(prediction) / jnp.sqrt(var)
+    mid = (3.0 * c - 2.0 * t - 1.0) * (t - 1.0) ** 2 / (c - 1.0) ** 3
+    return jnp.where(t >= c, 1.0, jnp.where(t <= 1.0, 0.0, mid))
+
+
+def extra_set_error(state: RealTrainState, test_features, test_labels_raw) -> jnp.ndarray:
+    """Squared prediction error on a held-out set, in rescaled units
+    (reference PredictiveKernel with TestLabel, kernel.cpp:521-522)."""
+    k_star = kernel_matrix(state.params, test_features, state.features, same=False)
+    mean_scaled = k_star @ state.alpha
+    y = jnp.real(test_labels_raw) * state.rescale
+    return jnp.sum((mean_scaled - y) ** 2)
+
+
+def optimal_magnitude(state: RealTrainState) -> jnp.ndarray:
+    """Maximum-likelihood magnitude sqrt(y^T K^-1 y / N) given magnitude = 1
+    during optimization (reference kernel.h:167-179)."""
+    within = jnp.dot(state.labels, state.alpha) / state.labels.shape[0]
+    return jnp.sqrt(jnp.abs(within))
+
+
+# -- analytic phase-space integrals (kernel.cpp:286-335) ------------------------
+
+def _dim(state: RealTrainState) -> int:
+    return state.features.shape[-1] // 2
+
+
+def population(state: RealTrainState) -> jnp.ndarray:
+    """integral f(r) dr = (2 pi)^Dim sigma_f^2 prod(l) sum(alpha) / rescale."""
+    d = _dim(state)
+    factor = (2.0 * jnp.pi) ** d * state.params.magnitude**2 * jnp.prod(state.params.lengths)
+    return factor * jnp.sum(state.alpha) / state.rescale
+
+
+def r_average(state: RealTrainState) -> jnp.ndarray:
+    """integral r f(r) dr, shape (PhaseDim,) (kernel.cpp:298-312)."""
+    d = _dim(state)
+    factor = (2.0 * jnp.pi) ** d * state.params.magnitude**2 * jnp.prod(state.params.lengths)
+    return factor * (state.features.T @ state.alpha) / state.rescale
+
+
+def purity(state: RealTrainState) -> jnp.ndarray:
+    """(2 pi hbar)^Dim integral f^2 dr via the sqrt(2)-length auxiliary kernel
+    (kernel.h:285-294, kernel.cpp:313-335):
+
+        purity = (2 pi hbar)^Dim pi^Dim alpha^T K1 alpha / rescale^2,
+        K1 = sigma_f^4 prod(l) exp(-1/4 sum((dx/l)^2)).
+    """
+    d = _dim(state)
+    aux_lengths = jnp.sqrt(2.0) * state.params.lengths
+    aux_mag_sq = state.params.magnitude**4 * jnp.prod(state.params.lengths)
+    k1 = aux_mag_sq * gram(aux_lengths, state.features, state.features)
+    quad = state.alpha @ (k1 @ state.alpha)
+    return purity_factor(d) * jnp.pi**d * quad / state.rescale**2

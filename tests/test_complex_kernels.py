@@ -1,0 +1,135 @@
+"""Tests for the complex GP kernel (reference complex_kernel.cpp parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gple_tpu.ops import complex_kernels as CK
+
+
+def make_dataset(n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 2)) * np.array([1.0, 2.0])
+    f = 0.2 * np.exp(-0.5 * (x[:, 0] ** 2 + (x[:, 1] / 2.0) ** 2))
+    y = f * np.exp(1.0j * (0.5 * x[:, 0] + 0.2 * x[:, 1]))
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def default_params(mag=1.0, mr=1.0, mi=0.8, noise=0.01):
+    return CK.ComplexKernelParams(
+        magnitude=jnp.asarray(mag),
+        real_magnitude=jnp.asarray(mr),
+        real_lengths=jnp.asarray([1.0, 2.0]),
+        imag_magnitude=jnp.asarray(mi),
+        imag_lengths=jnp.asarray([1.2, 1.8]),
+        noise=jnp.asarray(noise),
+    )
+
+
+def test_flat_roundtrip():
+    p = default_params()
+    flat = p.to_flat()
+    assert flat.shape == (8,)  # 1 + 2*(1+2) + 1 (complex_kernel.h:18-22)
+    p2 = CK.ComplexKernelParams.from_flat(flat)
+    for a, b in zip(p, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_augmented_block_solve_matches_dense():
+    """P/Q/v must equal the blocks of the explicit 2N x 2N augmented inverse."""
+    x, y = make_dataset(20)
+    p = default_params()
+    st = CK.fit_complex(p, x, y)
+    k, kt = CK.covariance_matrices(p, x, x, same=True)
+    k = np.asarray(k).astype(complex)
+    kt = np.asarray(kt)
+    aug = np.block([[k, kt], [kt.conj(), k.conj()]])
+    aug_inv = np.linalg.inv(aug)
+    n = 20
+    np.testing.assert_allclose(np.asarray(st.p_block), aug_inv[:n, :n], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.q_block), aug_inv[n:, :n], atol=1e-9)
+    yb = np.concatenate([np.asarray(st.labels), np.asarray(st.labels).conj()])
+    sol = aug_inv @ yb
+    np.testing.assert_allclose(np.asarray(st.v), sol[:n], atol=1e-9)
+    # lower half of the solve is conj(upper): consistency of the augmented form
+    np.testing.assert_allclose(sol[n:], sol[:n].conj(), atol=1e-9)
+
+
+def test_interpolation_and_variance():
+    x, y = make_dataset()
+    st = CK.fit_complex(default_params(), x, y)
+    mean, var, cut = CK.predict_complex(st, x)
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(y), atol=1e-2 * float(jnp.max(jnp.abs(y)))
+    )
+    assert np.all(np.asarray(var) >= -1e-9)
+
+
+def test_loocv_against_bruteforce():
+    """The block LOOCV formula equals leaving one point out of the augmented
+    system (both its rows) and predicting it back."""
+    x, y = make_dataset(16)
+    p = default_params()
+    st = CK.fit_complex(p, x, y)
+    err = float(CK.loocv_error_complex(st))
+    n = 16
+    k, kt = CK.covariance_matrices(p, x, x, same=True)
+    k = np.asarray(k).astype(complex)
+    kt = np.asarray(kt)
+    ys = np.asarray(st.labels)
+    total = 0.0
+    for i in range(n):
+        keep = np.arange(n) != i
+        kk = k[np.ix_(keep, keep)]
+        kkt = kt[np.ix_(keep, keep)]
+        aug = np.block([[kk, kkt], [kkt.conj(), kk.conj()]])
+        sol = np.linalg.solve(aug, np.concatenate([ys[keep], ys[keep].conj()]))
+        v, vc = sol[: n - 1], sol[n - 1 :]
+        krow = k[i, keep]
+        ktrow = kt[i, keep]
+        pred = krow @ v + ktrow @ vc
+        total += abs(pred - ys[i]) ** 2
+    assert err == pytest.approx(total, rel=1e-6)
+
+
+def quad_grid(lim=8.0, n=401):
+    xs = np.linspace(-lim, lim, n)
+    ps = np.linspace(-2 * lim, 2 * lim, 2 * n - 1)
+    gx, gp = np.meshgrid(xs, ps, indexing="ij")
+    pts = jnp.asarray(np.stack([gx.ravel(), gp.ravel()], axis=-1))
+    da = (xs[1] - xs[0]) * (ps[1] - ps[0])
+    return pts, da
+
+
+def test_purity_vs_quadrature():
+    x, y = make_dataset(24)
+    st = CK.fit_complex(default_params(), x, y)
+    pts, da = quad_grid()
+    mean, _, _ = CK.predict_complex(st, pts, with_variance=False)
+    f = np.asarray(mean)
+    purity_quad = (2 * np.pi) * (np.abs(f) ** 2).sum() * da  # (2 pi hbar)^Dim
+    assert float(CK.purity_complex(st)) == pytest.approx(purity_quad, rel=1e-5)
+
+
+def test_loss_gradient_finite():
+    x, y = make_dataset(16)
+
+    def loss(flat):
+        st = CK.fit_complex(CK.ComplexKernelParams.from_flat(flat), x, y)
+        return CK.loocv_error_complex(st)
+
+    flat0 = default_params().to_flat()
+    g = np.asarray(jax.grad(loss)(flat0))
+    assert np.all(np.isfinite(g))
+    # spot-check one finite difference (real characteristic length 0)
+    i = 2
+    dv = np.zeros(8); dv[i] = 1e-6
+    num = (float(loss(flat0 + dv)) - float(loss(flat0 - dv))) / 2e-6
+    assert g[i] == pytest.approx(num, rel=5e-4, abs=1e-7)
+
+
+def test_optimal_magnitude_positive():
+    x, y = make_dataset()
+    st = CK.fit_complex(default_params(), x, y)
+    assert float(CK.optimal_magnitude_complex(st)) > 0
