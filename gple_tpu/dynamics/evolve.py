@@ -1,0 +1,245 @@
+"""MQCLE trajectory dynamics: the backward-branching evolver.
+
+TPU-first re-design of the reference evolver (``evolve.cpp``):
+
+* coupling-region test                       -- ``evolve.cpp:53-100``
+* adiabatic leapfrog                         -- ``evolve.cpp:125-148``
+* phase factor omega0                        -- ``evolve.cpp:157-172``
+* 17-step backward-branching non-adiabatic
+  density prediction                         -- ``evolve.cpp:184-372``
+* forward evolve of all points               -- ``evolve.cpp:377-423``
+* new-point prediction / IsSmall detection   -- ``evolve.cpp:425-478``
+
+Design notes:
+
+* The reference evolves each point on its own thread with 9 scalar GP queries;
+  here ALL points of a source element advance together and their 3x3 branch
+  queries collapse into ONE batched GP prediction per target element -- the
+  whole time step is a single jitted program of batched matmuls.
+* Both the adiabatic and the non-adiabatic paths are computed unconditionally
+  and blended by the (vectorized) coupling mask -- branch-free control flow
+  for XLA.  With the reference's CouplingCriterion = 0 the mask is always
+  true, matching its behavior exactly.
+* Distribution access follows the (dist_fn, dist_params) convention of the
+  sampler: ``dist_fn(dist_params, pts (3, M, PhaseDim)) -> (3, M) complex``,
+  one row per lower-triangular element in storage order (00), (10), (11).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gple_tpu.models import tully
+from gple_tpu.storage import ELEMENTS, NUM_ELEMENTS, OFFDIAG_INDEX, Density, element_index
+from gple_tpu.utils.constants import HBAR
+
+#: off-diagonal-force branches (evolve.cpp:12-16)
+BRANCHES = jnp.asarray([-1.0, 0.0, 1.0])
+#: element considered absent when all test predictions have |rho|^2 below this
+VERY_SMALL_EPSILON = 1e-10  # (1e-5)^2, evolve.cpp:452
+
+
+def is_coupling(model: str, x, p, mass, dt, criterion: float = 0.0):
+    """Vectorized coupling test (evolve.cpp:53-100): strong NAC motion or
+    large off-diagonal force relative to the mean diagonal force.  With the
+    reference's criterion 0 this is identically True."""
+    f = tully.adiabatic_force(model, x)
+    d = tully.adiabatic_coupling(model, x)
+    f_diag_avg = 0.5 * (f[..., 0, 0] + f[..., 1, 1])
+    nac_term = jnp.abs(d[..., 0, 1] * p / mass) * dt >= criterion
+    force_term = jnp.abs(f[..., 0, 1] / f_diag_avg) >= criterion
+    return nac_term | force_term
+
+
+def _diag_force_sum(model: str, x, i: int, j: int):
+    f = tully.adiabatic_force(model, x)
+    return f[..., i, i] + f[..., j, j]
+
+
+def adiabatic_leapfrog(model: str, x, p, mass, dt, drc: int, i: int, j: int):
+    """Leapfrog x(dt/2) -> p(dt) -> x(dt/2) with force (F_ii + F_jj)/2
+    (evolve.cpp:125-148).  ``drc`` is +1 forward, -1 backward."""
+    s = float(drc)
+    x = x + s * dt / 2.0 * p / mass
+    p = p + s * dt / 2.0 * _diag_force_sum(model, x, i, j)
+    x = x + s * dt / 2.0 * p / mass
+    return x, p
+
+
+def omega0(model: str, xa, xb, i: int, j: int):
+    """(dV_ij(xa) + dV_ij(xb)) / (2 hbar) with forward sign (evolve.cpp:157-172)."""
+    if i == j:
+        return jnp.zeros_like(xa)
+    ea = tully.adiabatic_potential(model, xa)
+    eb = tully.adiabatic_potential(model, xb)
+    return (ea[..., i] - ea[..., j] + eb[..., i] - eb[..., j]) / (2.0 * HBAR)
+
+
+def _offdiagonal_rotation(model, rho3, x, p, mass, dt, criterion):
+    """Rotate the triangular 3-vector (rho00, rho10, rho11) by the coupling
+    angle phi = (p/m) d01(x) (evolve.cpp:214-228).  ``rho3`` is (3, M)."""
+    couple = is_coupling(model, x, p, mass, dt, criterion)
+    d01 = tully.adiabatic_coupling(model, x)[..., 0, 1]
+    phi = (p / mass) * d01 * couple
+    c = jnp.cos(2.0 * phi * dt)
+    s = jnp.sin(2.0 * phi * dt)
+    r00, r10, r11 = rho3[0], rho3[1], rho3[2]
+    re10 = jnp.real(r10)
+    new00 = (1.0 + c) / 2.0 * r00 - s * re10 + (1.0 - c) / 2.0 * r11
+    new10 = s / 2.0 * r00 + c * re10 + 1.0j * jnp.imag(r10) - s / 2.0 * r11
+    new11 = (1.0 - c) / 2.0 * r00 + s * re10 + (1.0 + c) / 2.0 * r11
+    return jnp.stack([new00, new10, new11])
+
+
+def backward_predict(
+    model: str,
+    mass,
+    dt,
+    r_new,                  # (M, 2) phase coordinates AFTER the forward move
+    rho_old,                # (M,) complex or None: exact density override
+    source_elem: int,       # static triangular index of the evolving element
+    dist_fn,
+    dist_params,
+    criterion: float = 0.0,
+):
+    """The 17-step backward-branching density prediction
+    (``non_adiabatic_evolve_predict``, evolve.cpp:184-372), batched over M
+    points of one source element."""
+    i_src, j_src = ELEMENTS[source_elem]
+    x0, p0 = r_new[:, 0], r_new[:, 1]
+    couple0 = is_coupling(model, x0, p0, mass, dt, criterion)
+
+    # backward half-step adiabatic: (x0, p0) -> (x2, p1)
+    x2, p1 = adiabatic_leapfrog(model, x0, p0, mass, dt / 2.0, -1, i_src, j_src)
+    # off-diagonal-force momentum branches: p2[n] = p1 - dt n f01(x2) couple
+    f01 = tully.adiabatic_force(model, x2)[..., 0, 1] * couple0
+    p2 = p1[:, None] - dt * BRANCHES[None, :] * f01[:, None]        # (M, 3)
+    x3 = x2[:, None] - dt / 4.0 * p2 / mass                          # (M, 3)
+    # diagonal-force split towards each target element: p3[e] (3, M, 3)
+    f_adia_x3 = tully.adiabatic_force(model, x3)                     # (M, 3, 2, 2)
+    p3 = jnp.stack(
+        [
+            p2 - dt / 4.0 * (f_adia_x3[..., a, a] + f_adia_x3[..., b, b])
+            for (a, b) in ELEMENTS
+        ]
+    )                                                                # (3, M, 3)
+    x4 = x3[None] - dt / 4.0 * p3 / mass                             # (3, M, 3)
+
+    # one batched GP query per target element at (x4, p3)
+    query = jnp.stack([x4, p3], axis=-1).reshape(NUM_ELEMENTS, -1, 2)  # (3, 3M, 2)
+    rho_flat = dist_fn(dist_params, query)                            # (3, 3M)
+    rho_pred = rho_flat.reshape(NUM_ELEMENTS, -1, 3)                  # (3, M, 3)
+    if rho_old is not None:
+        # the exact element keeps its known density on the static branch
+        rho_pred = rho_pred.at[source_elem, :, 1].set(rho_old)
+
+    # adiabatic phase on the off-diagonal component from (x4 -> x2)
+    ph = jnp.exp(1.0j * omega0(model, x2[:, None], x4[OFFDIAG_INDEX], 0, 1) * dt / 2.0)
+    rho_pred = rho_pred.at[OFFDIAG_INDEX].multiply(ph)
+
+    # per-branch off-diagonal rotation at (x2, p2[n]) over dt/2
+    def rotate_branch(n):
+        return _offdiagonal_rotation(
+            model, rho_pred[:, :, n], x2, p2[:, n], mass, dt / 2.0, criterion
+        )
+
+    rotated = jnp.stack([rotate_branch(n) for n in range(3)], axis=-1)  # (3, M, 3)
+
+    # branch recombination (evolve.cpp:320-348)
+    r0m, r1m, r2m = rotated[0, :, 0], rotated[1, :, 0], rotated[2, :, 0]   # n = -1
+    r0z, r1z, r2z = rotated[0, :, 1], rotated[1, :, 1], rotated[2, :, 1]   # n = 0
+    r0p, r1p, r2p = rotated[0, :, 2], rotated[1, :, 2], rotated[2, :, 2]   # n = +1
+    v_minus = (r0m + 2.0 * jnp.real(r1m) + r2m) / 4.0
+    v_zero = (r0z - r2z) / 2.0
+    v_plus = (r0p - 2.0 * jnp.real(r1p) + r2p) / 4.0
+    combined = jnp.stack(
+        [
+            v_minus + v_zero + v_plus,
+            v_minus + 1.0j * jnp.imag(r1z) - v_plus,
+            v_minus - v_zero + v_plus,
+        ]
+    )                                                                 # (3, M)
+
+    # second off-diagonal rotation at (x2, p1) over dt/2
+    combined = _offdiagonal_rotation(model, combined, x2, p1, mass, dt / 2.0, criterion)
+
+    result = combined[source_elem]
+    if i_src != j_src:
+        result = result * jnp.exp(1.0j * omega0(model, x0, x2, 0, 1) * dt / 2.0)
+    return result
+
+
+@partial(jax.jit, static_argnums=(0, 4, 6))
+def evolve_step(
+    model: str,
+    mass,
+    dt,
+    density: Density,
+    dist_fn,
+    dist_params,
+    criterion: float = 0.0,
+) -> Density:
+    """One forward time step of every sampled point (evolve.cpp:377-423).
+
+    Coupled points: two half-step leapfrogs then backward prediction.
+    Uncoupled points: one full leapfrog, density = old distribution at the old
+    coordinate times the adiabatic phase.  Both are computed and blended by
+    the per-point coupling mask.
+    """
+    new_points = []
+    new_rho = []
+    # adiabatic-path distribution queries at the OLD coordinates, all elements
+    rho_at_old = dist_fn(dist_params, density.points)  # (3, N)
+    for k, (i, j) in enumerate(ELEMENTS):
+        r = density.points[k]
+        x0, p0 = r[:, 0], r[:, 1]
+        couple = is_coupling(model, x0, p0, mass, dt, criterion)
+        # non-adiabatic: two half-step leapfrogs then backward prediction
+        xa, pa = adiabatic_leapfrog(model, x0, p0, mass, dt / 2.0, +1, i, j)
+        xb, pb = adiabatic_leapfrog(model, xa, pa, mass, dt / 2.0, +1, i, j)
+        r_na = jnp.stack([xb, pb], axis=-1)
+        rho_na = backward_predict(
+            model, mass, dt, r_na, density.rho[k], k, dist_fn, dist_params, criterion
+        )
+        # adiabatic: one full leapfrog, phase-rotated old density
+        xc, pc = adiabatic_leapfrog(model, x0, p0, mass, dt, +1, i, j)
+        r_ad = jnp.stack([xc, pc], axis=-1)
+        rho_ad = rho_at_old[k] * jnp.exp(-1.0j * omega0(model, x0, xc, i, j) * dt)
+        new_points.append(jnp.where(couple[:, None], r_na, r_ad))
+        new_rho.append(jnp.where(couple, rho_na, rho_ad))
+    return Density(
+        points=jnp.stack(new_points), rho=jnp.stack(new_rho), active=density.active
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 7))
+def predict_new_points(
+    model: str, mass, dt, pts, elem: int, dist_fn, dist_params,
+    criterion: float = 0.0,
+):
+    """Density prediction for points with no known value (evolve.cpp:425-443):
+    backward prediction where coupled, zero elsewhere."""
+    rho = backward_predict(model, mass, dt, pts, None, elem, dist_fn, dist_params, criterion)
+    x, p = pts[:, 0], pts[:, 1]
+    couple = is_coupling(model, x, p, mass, dt, criterion)
+    return jnp.where(couple, rho, 0.0)
+
+
+def is_very_small(model, mass, dt, density: Density, dist_fn, dist_params,
+                  criterion: float = 0.0):
+    """Per-element smallness flags (evolve.cpp:445-478): an inactive element
+    stays small only if every test-point prediction is below epsilon; active
+    elements are never small.  Returns (3,) bool 'small' flags."""
+    test_pts = density.points[0]  # element (0,0)'s coordinates as probes
+    small = []
+    for k in range(NUM_ELEMENTS):
+        pred = predict_new_points(
+            model, mass, dt, test_pts, k, dist_fn, dist_params, criterion
+        )
+        all_small = jnp.all(jnp.abs(pred) ** 2 < VERY_SMALL_EPSILON)
+        small.append(jnp.where(density.active[k], False, all_small))
+    return jnp.stack(small)

@@ -1,0 +1,145 @@
+"""Density-matrix point storage and GP-state containers.
+
+TPU-first replacement for the reference's ``QuantumStorage`` triangular
+container (``gaussian_process_liouville_equation/storage.h:106-329``): instead
+of per-element ``std::vector``s of points with dynamic emptiness, every
+lower-triangular element holds a FIXED number of points in one stacked array
+and an ``active`` mask marks which elements currently carry density (the
+reference's inverse ``IsSmall`` flags).  Static shapes keep the whole pipeline
+jittable; inactive elements simply contribute zeros.
+
+Element ordering is row-major lower-triangular like the reference's loops
+(``for iPES { for jPES <= iPES }``): index 0 = (0,0), 1 = (1,0), 2 = (1,1).
+The off-diagonal element is index 1.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gple_tpu.ops import complex_kernels as CK
+from gple_tpu.ops import kernels as RK
+
+#: lower-triangular element order (row, col) for NumPES = 2
+ELEMENTS = ((0, 0), (1, 0), (1, 1))
+NUM_ELEMENTS = len(ELEMENTS)
+DIAG_INDICES = (0, 2)     # positions of (0,0) and (1,1) in ELEMENTS
+OFFDIAG_INDEX = 1         # position of (1,0)
+
+
+def element_index(row: int, col: int) -> int:
+    return {(0, 0): 0, (1, 0): 1, (0, 1): 1, (1, 1): 2}[(row, col)]
+
+
+class Density(NamedTuple):
+    """All sampled phase-space points: the reference's ``AllPoints``.
+
+    points: (3, N, PhaseDim) coordinates per element
+    rho:    (3, N) complex density values at those coordinates
+    active: (3,) bool -- element carries non-negligible density
+    """
+
+    points: jnp.ndarray
+    rho: jnp.ndarray
+    active: jnp.ndarray
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[1]
+
+    def element(self, row: int, col: int):
+        k = element_index(row, col)
+        return self.points[k], self.rho[k]
+
+
+def make_density(num_points: int, r0, active, dtype=jnp.float64) -> Density:
+    """Seed all active elements with ``num_points`` copies of r0 (main.cpp:44-56)."""
+    r0 = jnp.asarray(r0, dtype=dtype)
+    pts = jnp.tile(r0[None, None, :], (NUM_ELEMENTS, num_points, 1))
+    rho = jnp.zeros((NUM_ELEMENTS, num_points), dtype=jnp.complex128)
+    return Density(points=pts, rho=rho, active=jnp.asarray(active, dtype=bool))
+
+
+class GPStates(NamedTuple):
+    """Fitted GP surrogates for every element: the reference's TrainingKernels
+    (``predict.h:89-143``).  ``diag`` is a batched (leading axis 2)
+    RealTrainState over the two diagonal elements; ``offdiag`` the complex
+    state of (1,0)."""
+
+    diag: RK.RealTrainState
+    offdiag: CK.ComplexTrainState
+    active: jnp.ndarray  # (3,) same convention as Density.active
+
+    # -- whole-matrix analytic observables (predict.cpp:395-463) --------------
+    def population(self) -> jnp.ndarray:
+        pops = jax.vmap(RK.population)(self.diag)
+        mask = self.active[jnp.asarray(DIAG_INDICES)]
+        return jnp.sum(jnp.where(mask, pops, 0.0))
+
+    def population_each(self) -> jnp.ndarray:
+        pops = jax.vmap(RK.population)(self.diag)
+        mask = self.active[jnp.asarray(DIAG_INDICES)]
+        return jnp.where(mask, pops, 0.0)
+
+    def r_average(self) -> jnp.ndarray:
+        r = jax.vmap(RK.r_average)(self.diag)
+        mask = self.active[jnp.asarray(DIAG_INDICES)]
+        return jnp.sum(jnp.where(mask[:, None], r, 0.0), axis=0)
+
+    def total_energy(self, surface_energies) -> jnp.ndarray:
+        """Population-weighted energies, with per-surface energies supplied by
+        the MC estimate (predict.cpp:421-436)."""
+        return jnp.sum(self.population_each() * surface_energies)
+
+    def purity(self) -> jnp.ndarray:
+        pur_diag = jax.vmap(RK.purity)(self.diag)
+        mask = self.active[jnp.asarray(DIAG_INDICES)]
+        total = jnp.sum(jnp.where(mask, pur_diag, 0.0))
+        pur_off = CK.purity_complex(self.offdiag)
+        return total + jnp.where(self.active[OFFDIAG_INDEX], 2.0 * pur_off, 0.0)
+
+
+def fit_gp_states(
+    diag_params: RK.KernelParams,
+    offdiag_params: CK.ComplexKernelParams,
+    density: Density,
+) -> GPStates:
+    """Refactorize all element GPs from the current points (the reference
+    rebuilds TrainingKernels every tick, main.cpp:176)."""
+    diag_idx = jnp.asarray(DIAG_INDICES)
+    diag = jax.vmap(RK.fit_real)(
+        diag_params, density.points[diag_idx], density.rho[diag_idx]
+    )
+    off = CK.fit_complex(
+        offdiag_params, density.points[OFFDIAG_INDEX], density.rho[OFFDIAG_INDEX]
+    )
+    return GPStates(diag=diag, offdiag=off, active=density.active)
+
+
+def predict_element(gps: GPStates, elem: int, pts, with_variance: bool = True):
+    """Cutoff GP prediction for one element at ``pts`` (M, PhaseDim); zero when
+    the element is inactive (main.cpp:75-101).  ``elem`` is a static index."""
+    if elem == OFFDIAG_INDEX:
+        _, _, cut = CK.predict_complex(gps.offdiag, pts, with_variance)
+    else:
+        d = 0 if elem == 0 else 1
+        state = jax.tree.map(lambda a: a[d], gps.diag)
+        _, _, cut = RK.predict_real(state, pts, with_variance)
+        cut = cut.astype(jnp.complex128)
+    return jnp.where(gps.active[elem], cut, 0.0)
+
+
+def make_distribution(gps: GPStates, with_variance: bool = True) -> Callable:
+    """Batched distribution function: pts (3, M, PhaseDim) -> (3, M) complex,
+    one row per element.  This is the reference's ``predict_distribution``
+    closure (main.cpp:75-101), vectorized over all elements at once."""
+
+    def dist(pts_per_elem):
+        return jnp.stack(
+            [predict_element(gps, k, pts_per_elem[k], with_variance) for k in range(NUM_ELEMENTS)]
+        )
+
+    return dist
