@@ -1,0 +1,90 @@
+"""Headline benchmark: GPR fit+evolve wall time per step at N = 1024.
+
+This is the driver-defined metric from BASELINE.json ("GPR fit+evolve sec/step
+at N=1024 points").  One step = the per-tick work of the reference main loop
+(main.cpp:135-202): evolve every sampled point of all three density-matrix
+elements through the branching backward predictor (9 GP queries per point),
+then refactorize all element GPs from the moved points.
+
+``vs_baseline`` is the speedup of the accelerator run over the SAME jitted
+step executed on the host CPU backend -- a stand-in for the reference's
+Eigen+MKL CPU implementation (which has identical asymptotics: O(N^3)
+Cholesky per element per step plus O(N) GP queries per point; the reference
+cannot be built here, as Eigen/MKL/NLopt are absent).
+
+Usage: python bench.py [--quick] [-n N] [--steps K]
+Prints exactly one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def measure(step_fn, args, n_warmup, n_steps):
+    import jax
+
+    out = args
+    for _ in range(n_warmup):
+        out = step_fn(*out)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = step_fn(*out)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_steps, out
+
+
+def bench(n_points: int, n_steps: int, quick: bool):
+    import jax
+
+    import __graft_entry__ as g
+    from gple_tpu.parallel.sharding import make_step_fn
+
+    step = make_step_fn("SAC", 2000.0, 1.0)
+
+    # accelerator (default backend) timing
+    density, gps = g._example_state(n_points)
+    fn = jax.jit(step)
+    sec_acc, out = measure(fn, (density, gps), 2, n_steps)
+    assert bool(jax.numpy.isfinite(out[0].rho).all())
+
+    # host-CPU baseline timing (same algorithm, same compiler, host hardware)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            density_c, gps_c = g._example_state(n_points)
+            fn_cpu = jax.jit(step)
+            sec_cpu, _ = measure(fn_cpu, (density_c, gps_c), 1, max(1, n_steps // 4))
+    except Exception:
+        sec_cpu = float("nan")
+
+    return sec_acc, sec_cpu
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small N for smoke runs")
+    ap.add_argument("-n", type=int, default=None, help="points per element")
+    ap.add_argument("--steps", type=int, default=None)
+    opts = ap.parse_args()
+    n = opts.n or (256 if opts.quick else 1024)
+    steps = opts.steps or (3 if opts.quick else 10)
+
+    sec_acc, sec_cpu = bench(n, steps, opts.quick)
+    vs = (sec_cpu / sec_acc) if sec_cpu == sec_cpu else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": f"GPR fit+evolve sec/step @ N={n}",
+                "value": round(sec_acc, 6),
+                "unit": "s/step",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,13 @@ class GPLEConfig:
 
     @property
     def num_grids_per_dim(self) -> int:
+        # The reference computes max(200, span/dx_deBroglie) (input.cpp:39) but
+        # documents the 200 as a CAP "to prevent too big output files"
+        # (input.cpp:8-9); we honor the documented cap -- the grid only feeds
+        # visualization output, and 879 grids/dim would make phase.txt huge.
         span = self.xmax - self.xmin
         min_dx = math.pi / 2.0 * HBAR / (self.p0 + 3.0 * self.sigma_p0)
-        return max(MAX_GRIDS_PER_DIM, int(span / min_dx) + 1)
+        return min(MAX_GRIDS_PER_DIM, int(span / min_dx) + 1)
 
     @property
     def dx(self) -> float:

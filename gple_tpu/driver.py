@@ -1,0 +1,394 @@
+"""The GPR-MQCLE driver: fit -> sample -> evolve -> refit.
+
+TPU-first re-design of the reference main loop
+(``gaussian_process_liouville_equation/main.cpp:19-212``):
+
+1. seed N points per populated element at r0, Metropolis-select them from the
+   initial Gaussian distribution (main.cpp:44-57)
+2. record the conserved targets: total energy, purity = 1 (main.cpp:59-66)
+3. jitter 5N extra points per element for fitting (main.cpp:69)
+4. optimize hyperparameters under the conservation constraints (main.cpp:71-73)
+5. per tick: evolve density AND extra points with the branching evolver, check
+   element appearance/disappearance, re-optimize on schedule / on element
+   change / on conservation drift, otherwise just refactorize the GP states
+   from the moved points (main.cpp:135-202)
+6. stop once <x> passes -x0 (main.cpp:195-200)
+
+Everything inside a tick is jitted with static shapes; Python only decides
+WHEN to re-optimize (mirroring the reference's control flow, which is also
+host-side).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gple_tpu import observables as OBS
+from gple_tpu.config import GPLEConfig
+from gple_tpu.dynamics import evolve as EV
+from gple_tpu.gp.opt import AVERAGE_TOLERANCE, Optimizer
+from gple_tpu.io.writers import OutputWriters
+from gple_tpu.ops import complex_kernels as CK
+from gple_tpu.ops import kernels as RK
+from gple_tpu.sampler import mc
+from gple_tpu.storage import (
+    DIAG_INDICES,
+    ELEMENTS,
+    NUM_ELEMENTS,
+    OFFDIAG_INDEX,
+    Density,
+    GPStates,
+    fit_gp_states,
+    predict_element,
+)
+from gple_tpu.utils.constants import purity_factor
+
+
+# -- distribution functions (module-level: stable identity for jit caches) --------
+
+def gp_dist_all(gps: GPStates, pts3):
+    """(3, M, PhaseDim) -> (3, M) cutoff GP predictions (main.cpp:75-101)."""
+    return jnp.stack([predict_element(gps, k, pts3[k]) for k in range(NUM_ELEMENTS)])
+
+
+def _gp_dist_elem(gps: GPStates, pts, *, elem: int):
+    return predict_element(gps, elem, pts)
+
+
+GP_DIST_ELEMS = tuple(partial(_gp_dist_elem, elem=k) for k in range(NUM_ELEMENTS))
+
+
+def _init_dist_elem(params, pts, *, elem: int):
+    r0, sigma, pops, phases = params
+    row, col = ELEMENTS[elem]
+    return mc.initial_distribution(r0, sigma, pts, row, col, pops, phases)
+
+
+INIT_DIST_ELEMS = tuple(partial(_init_dist_elem, elem=k) for k in range(NUM_ELEMENTS))
+
+
+def init_dist_all(params, pts3):
+    return jnp.stack([INIT_DIST_ELEMS[k](params, pts3[k]) for k in range(NUM_ELEMENTS)])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _grid_predictions(model_unused, gps: GPStates, grid_pts):
+    """Cutoff prediction + variance of every element on the output grid."""
+    preds, variances = [], []
+    for k in range(NUM_ELEMENTS):
+        if k == OFFDIAG_INDEX:
+            _, var, cut = CK.predict_complex(gps.offdiag, grid_pts)
+        else:
+            d = 0 if k == 0 else 1
+            state = jax.tree.map(lambda a: a[d], gps.diag)
+            _, var, cut = RK.predict_real(state, grid_pts)
+            cut = cut.astype(jnp.complex128)
+        active = gps.active[k]
+        preds.append(jnp.where(active, cut, 0.0))
+        variances.append(jnp.where(active, var, 0.0))
+    return jnp.stack(preds), jnp.stack(variances)
+
+
+@dataclasses.dataclass
+class TickRecord:
+    time: float
+    population_prm: float
+    population_mci: np.ndarray
+    energy_prm: float
+    energy_mci: float
+    purity_prm: float
+    purity_mci: float
+    x_average: float
+    opt_type: str
+
+
+class GPLEDriver:
+    def __init__(self, cfg: GPLEConfig, outdir: Optional[str] = None, verbose: bool = False):
+        self.cfg = cfg
+        self.verbose = verbose
+        self.writers = OutputWriters(outdir) if outdir else None
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.mc_params = [mc.MCParameters() for _ in range(NUM_ELEMENTS)]
+        self.history: List[TickRecord] = []
+        self._grid = jnp.asarray(cfg.phase_grids()) if outdir else None
+        # per-driver new-point distribution functions (stable identities)
+        self._new_pt_dists = tuple(
+            partial(self._new_point_dist, elem=k) for k in range(NUM_ELEMENTS)
+        )
+
+    def _log(self, msg):
+        if self.verbose:
+            print(msg, flush=True)
+
+    def _split(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _new_point_dist(self, params, pts, *, elem: int):
+        gps = params
+        return EV.predict_new_points(
+            self.cfg.model, self.cfg.mass, self.cfg.dt, pts, elem, gp_dist_all, gps
+        )
+
+    # -- initialization (main.cpp:25-73) ------------------------------------------
+    def initialize(self):
+        cfg = self.cfg
+        pops = cfg.initial_population
+        active = np.array(
+            [pops[i] > 0 and pops[j] > 0 for (i, j) in ELEMENTS], dtype=bool
+        )
+        init_params = (
+            jnp.asarray(cfg.r0), jnp.asarray(cfg.sigma_r0),
+            jnp.asarray(pops), jnp.asarray(cfg.initial_phase_factor),
+        )
+        n = cfg.num_points
+        pts = jnp.tile(jnp.asarray(cfg.r0)[None, None, :], (NUM_ELEMENTS, n, 1))
+        rho = init_dist_all(init_params, pts)
+        density = Density(points=pts, rho=rho, active=jnp.asarray(active))
+        # Metropolis selection of each active element (main.cpp:57)
+        new_pts, new_rho = [], []
+        for k in range(NUM_ELEMENTS):
+            if active[k]:
+                p, r, self.mc_params[k] = mc.element_monte_carlo(
+                    self._split(), INIT_DIST_ELEMS[k], init_params,
+                    density.points[k], self.mc_params[k], tune=True,
+                )
+            else:
+                p, r = density.points[k], density.rho[k]
+            new_pts.append(p)
+            new_rho.append(r)
+        density = Density(
+            points=jnp.stack(new_pts), rho=jnp.stack(new_rho), active=jnp.asarray(active)
+        )
+        # conserved targets (main.cpp:59-66)
+        energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
+        weights = np.asarray(pops) ** 2
+        self.total_energy = float(np.sum(weights * np.asarray(energies)) / weights.sum())
+        self.purity = 1.0
+        initial_mc_purity = float(
+            jnp.sum(OBS.purity_each_element(density)) * purity_factor(cfg.dim)
+        )
+        self.purity_ratio = self.purity / initial_mc_purity
+        # extra points (main.cpp:69)
+        extra = self._make_extra(density, INIT_DIST_ELEMS, init_params)
+        # optimizer + first fit (main.cpp:71-74)
+        self.optimizer = Optimizer(
+            model=cfg.model, mass=cfg.mass, total_energy=self.total_energy,
+            purity=self.purity, sigma_r0=np.asarray(cfg.sigma_r0), seed=cfg.seed,
+        )
+        self.opt_result = self.optimizer.optimize(density, extra, energies)
+        self.gps = self._refit(density)
+        self.density = density
+        self.extra = extra
+        return density
+
+    def _make_extra(self, density: Density, dist_elems, dist_params) -> Density:
+        n_extra = self.cfg.num_extra_points
+        pts, rho = [], []
+        for k in range(NUM_ELEMENTS):
+            if bool(density.active[k]):
+                p, r = mc.generate_extra_points_element(
+                    self._split(), density.points[k], n_extra, dist_elems[k], dist_params
+                )
+            else:
+                p = jnp.tile(density.points[k][:1], (n_extra, 1))
+                r = jnp.zeros(n_extra, dtype=jnp.complex128)
+            pts.append(p)
+            rho.append(r)
+        return Density(points=jnp.stack(pts), rho=jnp.stack(rho), active=density.active)
+
+    def _refit(self, density: Density) -> GPStates:
+        diag_params, off_params = self.optimizer.fitted_params()
+        return fit_gp_states(diag_params, off_params, density)
+
+    # -- one tick (main.cpp:135-202) ------------------------------------------------
+    def step(self, tick: int) -> str:
+        cfg = self.cfg
+        gps = self.gps
+        density = EV.evolve_step(
+            cfg.model, cfg.mass, cfg.dt, self.density, gp_dist_all, gps
+        )
+        extra = EV.evolve_step(
+            cfg.model, cfg.mass, cfg.dt, self.extra, gp_dist_all, gps
+        )
+        small = np.asarray(
+            EV.is_very_small(cfg.model, cfg.mass, cfg.dt, density, gp_dist_all, gps)
+        )
+        old_active = np.asarray(density.active)
+        new_active = ~small
+        opt_type = "none"
+        changed = bool(np.any(new_active != old_active))
+        if changed:
+            density, extra = self._element_change(density, extra, old_active, new_active)
+        needs_opt = changed or (tick % cfg.reopt_freq == 0)
+        if not needs_opt:
+            # drift check with the refitted states (main.cpp:174-189)
+            self.density, self.extra = density, extra
+            self.gps = self._refit(density)
+            pop = float(self.gps.population())
+            pur = float(self.gps.purity())
+            tol = 2.0 * AVERAGE_TOLERANCE
+            if pur > (1.0 + tol) * self.purity or not (1.0 - tol < pop < 1.0 + tol):
+                needs_opt = True
+                opt_type = "drift"
+        if needs_opt:
+            self.density, self.extra = density, extra
+            energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
+            self.opt_result = self.optimizer.optimize(density, extra, energies)
+            self.gps = self._refit(density)
+            self.extra = self._make_extra(density, GP_DIST_ELEMS, self.gps)
+            opt_type = self.opt_result.opt_type if opt_type == "none" else opt_type
+        return opt_type
+
+    def _element_change(self, density, extra, old_active, new_active):
+        """new_element_point_selection (mc.cpp:407-537)."""
+        pts = np.asarray(density.points)
+        rho = np.asarray(density.rho)
+        candidates = jnp.asarray(
+            np.concatenate(
+                [pts.reshape(-1, pts.shape[-1]), np.asarray(extra.points).reshape(-1, 2)]
+            )
+        )
+        gps = self.gps
+        for k in range(NUM_ELEMENTS):
+            if new_active[k] and not old_active[k]:
+                self._log(f"element {ELEMENTS[k]} appears")
+                p, r, self.mc_params[k] = mc.seed_new_element(
+                    self._split(), candidates, self.cfg.num_points,
+                    self._new_pt_dists[k], gps, self.mc_params[k],
+                )
+                pts[k], rho[k] = np.asarray(p), np.asarray(r)
+            elif old_active[k] and not new_active[k]:
+                self._log(f"element {ELEMENTS[k]} vanishes")
+                rho[k] = 0.0
+        density = Density(
+            points=jnp.asarray(pts), rho=jnp.asarray(rho), active=jnp.asarray(new_active)
+        )
+        extra = Density(points=extra.points, rho=extra.rho, active=jnp.asarray(new_active))
+        return density, extra
+
+    # -- observation / output ---------------------------------------------------------
+    def observe(self, tick: int, opt_type: str) -> TickRecord:
+        cfg = self.cfg
+        density, gps = self.density, self.gps
+        energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
+        ppl_mci = np.asarray(OBS.population_each_surface(density))
+        rec = TickRecord(
+            time=tick * cfg.dt,
+            population_prm=float(gps.population()),
+            population_mci=ppl_mci,
+            energy_prm=float(gps.total_energy(energies)),
+            energy_mci=float(OBS.total_energy_all_surfaces(cfg.model, density, cfg.mass)),
+            purity_prm=float(gps.purity()),
+            purity_mci=float(jnp.sum(OBS.purity_each_element(density)))
+            * purity_factor(cfg.dim) * self.purity_ratio,
+            x_average=float(OBS.r_average_one_element(density.points[0], density.rho[0])[0]),
+            opt_type=opt_type,
+        )
+        self.history.append(rec)
+        if self.writers:
+            self._write_outputs(rec, energies)
+        self._log(
+            f"t={rec.time:8.2f} pop={rec.population_prm:.4f} "
+            f"E={rec.energy_prm:.6f} purity={rec.purity_prm:.4f} "
+            f"<x>={rec.x_average:8.3f} ppl={ppl_mci.round(4)} opt={opt_type}"
+        )
+        return rec
+
+    def _write_outputs(self, rec: TickRecord, energies):
+        cfg = self.cfg
+        density, gps = self.density, self.gps
+        pops_prm = np.asarray(gps.population_each())
+        surface_rows = []
+        for s, k in enumerate(DIAG_INDICES):
+            r_prm = np.asarray(RK.r_average(jax.tree.map(lambda a: a[s], gps.diag)))
+            r_mci = np.asarray(
+                OBS.r_average_one_element(density.points[k], density.rho[k])
+            )
+            surface_rows.append(
+                (pops_prm[s], r_prm, rec.population_mci[s], r_mci, float(energies[s]))
+            )
+        r_all_prm = np.asarray(gps.r_average())
+        r_all_mci = np.asarray(OBS.r_average_all_surfaces(density))
+        totals = [
+            rec.population_prm, *(r_all_prm / max(rec.population_prm, 1e-300)),
+            rec.energy_prm / max(rec.population_prm, 1e-300),
+            rec.population_mci.sum(), *r_all_mci, rec.energy_mci,
+        ]
+        pur_prm_diag = np.asarray(jax.vmap(RK.purity)(gps.diag))
+        pur_off = float(CK.purity_complex(gps.offdiag)) if bool(gps.active[1]) else 0.0
+        purity_prm = np.array(
+            [[pur_prm_diag[0], pur_off], [pur_off, pur_prm_diag[1]]]
+        )
+        purity_mci = np.asarray(OBS.purity_each_element(density)) * purity_factor(cfg.dim)
+        self.writers.write_average(surface_rows, totals, purity_prm, purity_mci)
+        # param.txt
+        triples = []
+        diag_params, off_params = self.optimizer.fitted_params()
+        for s, k in enumerate(DIAG_INDICES):
+            lb, ub = Optimizer.length_bounds(np.asarray(density.points[k]))
+            params = np.concatenate(
+                [[float(diag_params.magnitude[s])], np.asarray(diag_params.lengths[s]), [1e-2]]
+            )
+            triples.insert(s * 2, ([1.0, *lb, 1e-2], params, [1.0, *ub, 1e-2]))
+        olb, oub = Optimizer.length_bounds(np.asarray(density.points[OFFDIAG_INDEX]))
+        off_flat = np.asarray(self.optimizer.off_params)
+        triples.insert(
+            1,
+            (
+                [1.0, 0.1, *olb, 0.1, *olb, 1e-2],
+                np.concatenate([[float(off_params.magnitude)], off_flat, [1e-2]]),
+                [1.0, 10.0, *oub, 10.0, *oub, 1e-2],
+            ),
+        )
+        self.writers.write_param(triples)
+        self.writers.write_points(
+            np.asarray(density.points), np.asarray(density.rho),
+            np.asarray(self.extra.points), np.asarray(self.extra.rho),
+        )
+        preds, variances = _grid_predictions(cfg.model, gps, self._grid)
+        self.writers.write_phase(np.asarray(preds), np.asarray(variances))
+        self.writers.write_log(
+            rec.time, getattr(self.opt_result, "error", 0.0),
+            [p.num_steps for p in self.mc_params],
+            [p.displacement for p in self.mc_params],
+            rec.opt_type,
+        )
+
+    # -- full run (main.cpp:132-202) ----------------------------------------------------
+    def run(self, max_ticks: Optional[int] = None,
+            callback: Optional[Callable] = None,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 0,
+            resume_from: Optional[str] = None) -> List[TickRecord]:
+        from gple_tpu.io import checkpoint as ckpt
+
+        cfg = self.cfg
+        if resume_from:
+            start_tick = ckpt.load_checkpoint(resume_from, self) + 1
+            self._log(f"resumed from {resume_from} at tick {start_tick}")
+        else:
+            self.initialize()
+            self.observe(0, self.opt_result.opt_type)
+            start_tick = 1
+        total = cfg.total_ticks if max_ticks is None else min(cfg.total_ticks, max_ticks)
+        for tick in range(start_tick, total + 1):
+            opt_type = self.step(tick)
+            if checkpoint_path and checkpoint_every and tick % checkpoint_every == 0:
+                ckpt.save_checkpoint(checkpoint_path, self, tick)
+            if tick % cfg.output_freq == 0:
+                rec = self.observe(tick, opt_type)
+                if callback is not None:
+                    callback(rec)
+                if rec.x_average > -cfg.x0:
+                    self._log("wavepacket has left the interaction region")
+                    break
+        if self.writers:
+            self.writers.close()
+        return self.history

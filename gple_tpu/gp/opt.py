@@ -1,0 +1,406 @@
+"""Constrained GP hyperparameter optimization.
+
+TPU-first replacement for the reference's NLopt stack (``opt.cpp``):
+
+* loss = LOOCV error + extra-set prediction error       -- ``opt.cpp:441-482``
+* magnitude and noise pinned during optimization, the
+  magnitude set analytically afterwards                 -- ``opt.cpp:25-27,44-57,1179-1195``
+* bounds: characteristic lengths in [std/sqrt(N), 2 std]
+  of the current point cloud                            -- ``opt.cpp:1026-1052``
+* equality constraints population = 1, energy = E0,
+  purity = P0, with a purity-free diagonal pass when
+  the coherence is optimized separately                 -- ``opt.cpp:644-719,1135-1177``
+* three-stage restart ladder: local-from-previous ->
+  local-from-initial -> global (multi-start random
+  restarts replace DIRECT_L), accepted via the 5%
+  ``check_averages`` rule and ``compare_and_overwrite`` -- ``opt.cpp:1200-1392``
+
+Design notes:
+
+* NLopt's Nelder-Mead / SLSQP / AUGLAG_EQ zoo becomes ONE jit-compiled
+  pipeline: bound-constrained L-BFGS (optax, zoom linesearch) on
+  sigmoid-transformed parameters, wrapped in an augmented-Lagrangian outer
+  loop for the equality constraints.  Each restart stage is a single XLA
+  program; gradients are exact ``jax.grad`` through the Cholesky
+  factorization, so the reference's ~2,000 lines of hand-derived derivatives
+  have no counterpart here.
+* Population, <r>, and purity are invariant to the pinned global magnitude
+  (alpha scales as sigma^-2 against the sigma^2 in the analytic integrals), so
+  pin-then-set-analytically is exact, not an approximation.
+* NaN/Inf guarding (the reference's ``make_normal``, opt.cpp:418-431) is a
+  ``jnp.nan_to_num`` on losses and constraint values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gple_tpu.ops import complex_kernels as CK
+from gple_tpu.ops import kernels as RK
+from gple_tpu.storage import DIAG_INDICES, OFFDIAG_INDEX, Density
+
+#: relative tolerance of the conservation checks (reference opt.h:13)
+AVERAGE_TOLERANCE = 0.05
+#: pinned magnitude / noise during optimization (opt.cpp:25-27)
+INITIAL_MAGNITUDE = 1.0
+INITIAL_NOISE = 1e-2
+#: sub-kernel magnitude bounds for the complex kernel (opt.cpp:86-87)
+COMPLEX_MAG_LB = 0.1
+COMPLEX_MAG_UB = 10.0
+#: hard floor on characteristic lengths (opt.cpp:397)
+MIN_CHAR_LENGTH = 1.0 / 100.0
+
+LBFGS_STEPS = 60
+AL_OUTER = 3
+GLOBAL_STARTS = 8
+
+
+def _sigmoid_to_bounds(z, lb, ub):
+    return lb + (ub - lb) * jax.nn.sigmoid(z)
+
+
+def _bounds_to_sigmoid(theta, lb, ub):
+    frac = jnp.clip((theta - lb) / jnp.maximum(ub - lb, 1e-300), 1e-6, 1.0 - 1e-6)
+    return jnp.log(frac) - jnp.log1p(-frac)
+
+
+# -- pure losses / constraints -----------------------------------------------------
+
+def _diag_states(diag_lengths, data):
+    params = RK.KernelParams(
+        magnitude=jnp.ones(2), lengths=diag_lengths, noise=jnp.full(2, INITIAL_NOISE)
+    )
+    return jax.vmap(RK.fit_real)(params, data["dpts"], data["drho"])
+
+
+def _diag_loss(diag_lengths, data):
+    states = _diag_states(diag_lengths, data)
+    loo = jax.vmap(RK.loocv_error)(states)
+    extra = jax.vmap(RK.extra_set_error)(states, data["depts"], data["derho"])
+    per_elem = jnp.nan_to_num(loo + extra, nan=1e300, posinf=1e300)
+    return jnp.sum(per_elem * data["dmask"])
+
+
+def _off_state(off_flat, data):
+    d = (off_flat.shape[0] - 2) // 2
+    params = CK.ComplexKernelParams(
+        magnitude=jnp.asarray(1.0),
+        real_magnitude=off_flat[0],
+        real_lengths=off_flat[1 : 1 + d],
+        imag_magnitude=off_flat[1 + d],
+        imag_lengths=off_flat[2 + d :],
+        noise=jnp.asarray(INITIAL_NOISE),
+    )
+    return CK.fit_complex(params, data["opts"], data["orho"])
+
+
+def _off_loss(off_flat, data):
+    state = _off_state(off_flat, data)
+    loss = CK.loocv_error_complex(state) + CK.extra_set_error_complex(
+        state, data["oepts"], data["oerho"]
+    )
+    return jnp.nan_to_num(loss, nan=1e300, posinf=1e300) * data["omask"]
+
+
+def _raw_averages(diag_lengths, off_flat, data, with_off: bool):
+    """(population, energy, purity) from the analytic GP integrals."""
+    states = _diag_states(diag_lengths, data)
+    pops = jax.vmap(RK.population)(states) * data["dmask"]
+    population = jnp.sum(pops)
+    energy = jnp.sum(pops * data["energies"])
+    pur = jnp.sum(jax.vmap(RK.purity)(states) * data["dmask"])
+    if with_off:
+        pur = pur + 2.0 * CK.purity_complex(_off_state(off_flat, data)) * data["omask"]
+    vals = jnp.stack([population, energy, pur])
+    return jnp.nan_to_num(vals, nan=1e150, posinf=1e150, neginf=-1e150)
+
+
+# -- inner solvers -------------------------------------------------------------------
+
+def _lbfgs_scan(fn, z0, steps: int):
+    """Fixed-step L-BFGS with zoom linesearch; usable inside a jitted trace."""
+    opt = optax.lbfgs()
+    state = opt.init(z0)
+    vg = optax.value_and_grad_from_state(fn)
+
+    def step(carry, _):
+        z, st = carry
+        value, grad = vg(z, state=st)
+        grad = jnp.nan_to_num(grad)
+        updates, st = opt.update(grad, st, z, value=value, grad=grad, value_fn=fn)
+        z = optax.apply_updates(z, updates)
+        return (z, st), value
+
+    (z, _), _ = jax.lax.scan(step, (z0, state), None, length=steps)
+    return z
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _run_stage(start_diag, start_off, data, off_active: bool, lbfgs_steps: int,
+               al_outer: int):
+    """One complete do_optimize pass (opt.cpp:1101-1198) as a single XLA
+    program: elementwise fits, then the constrained diagonal pass, then (when
+    the coherence is active) the constrained full pass.
+
+    Returns (diag_lengths, off_flat, error, raw_averages).
+    """
+    dlb, dub = data["dlb"], data["dub"]
+    olb, oub = data["olb"], data["oub"]
+    targets = data["targets"]
+
+    # 1. elementwise unconstrained minimization
+    zd = _bounds_to_sigmoid(start_diag, dlb, dub)
+    zd = _lbfgs_scan(lambda z: _diag_loss(_sigmoid_to_bounds(z, dlb, dub), data),
+                     zd, lbfgs_steps)
+    zo = _bounds_to_sigmoid(start_off, olb, oub)
+    if off_active:
+        zo = _lbfgs_scan(lambda z: _off_loss(_sigmoid_to_bounds(z, olb, oub), data),
+                         zo, lbfgs_steps)
+
+    # 2. constrained passes via augmented Lagrangian
+    def al_minimize(z0, loss_and_cons, n_cons):
+        lam = jnp.zeros(n_cons)
+        mu = jnp.asarray(10.0)
+        z = z0
+        for _ in range(al_outer):
+            def objective(zz, lam=lam, mu=mu):
+                loss, cons = loss_and_cons(zz)
+                return loss + jnp.sum(lam * cons) + 0.5 * mu * jnp.sum(cons**2)
+
+            z = _lbfgs_scan(objective, z, lbfgs_steps)
+            _, cons = loss_and_cons(z)
+            lam = lam + mu * cons
+            mu = mu * 4.0
+        return z
+
+    # diagonal pass: purity constraint only when the coherence is absent
+    n_cons_diag = 2 if off_active else 3
+    zo_fixed = zo
+
+    def diag_lc(z):
+        lengths = _sigmoid_to_bounds(z, dlb, dub)
+        off_flat = _sigmoid_to_bounds(zo_fixed, olb, oub)
+        avgs = _raw_averages(lengths, off_flat, data, with_off=False)
+        cons = (avgs - targets)[:n_cons_diag]
+        return _diag_loss(lengths, data), cons
+
+    zd = al_minimize(zd, diag_lc, n_cons_diag)
+
+    if off_active:
+        zall = jnp.concatenate([zd.ravel(), zo])
+        nd = zd.size
+
+        def full_lc(z):
+            lengths = _sigmoid_to_bounds(z[:nd].reshape(zd.shape), dlb, dub)
+            off_flat = _sigmoid_to_bounds(z[nd:], olb, oub)
+            avgs = _raw_averages(lengths, off_flat, data, with_off=True)
+            return _diag_loss(lengths, data) + _off_loss(off_flat, data), avgs - targets
+
+        zall = al_minimize(zall, full_lc, 3)
+        zd = zall[:nd].reshape(zd.shape)
+        zo = zall[nd:]
+
+    diag_lengths = _sigmoid_to_bounds(zd, dlb, dub)
+    off_flat = _sigmoid_to_bounds(zo, olb, oub)
+    error = _diag_loss(diag_lengths, data) + (_off_loss(off_flat, data) if off_active else 0.0)
+    avgs = _raw_averages(diag_lengths, off_flat, data, with_off=off_active)
+    return diag_lengths, off_flat, error, avgs
+
+
+@jax.jit
+def _global_candidates(key, data):
+    """Random log-space restarts for the global stage (replaces DIRECT_L,
+    opt.cpp:1349-1383): return the candidate diag lengths with smallest loss."""
+    keys = jax.random.split(key, GLOBAL_STARTS)
+
+    def sample_loss(k):
+        u = jax.random.uniform(k, data["dlb"].shape)
+        lengths = data["dlb"] * (data["dub"] / data["dlb"]) ** u
+        return _diag_loss(lengths, data), lengths
+
+    losses, lengths = jax.lax.map(sample_loss, keys)
+    best = jnp.argmin(losses)
+    return lengths[best]
+
+
+@jax.jit
+def _analytic_magnitudes(diag_lengths, off_flat, data):
+    states = _diag_states(diag_lengths, data)
+    mags = jax.vmap(RK.optimal_magnitude)(states)
+    off_mag = CK.optimal_magnitude_complex(_off_state(off_flat, data))
+    return mags, off_mag
+
+
+class OptResult(NamedTuple):
+    error: float
+    steps: list
+    opt_type: str
+
+
+@dataclasses.dataclass
+class Optimizer:
+    """Targets, parameter state, and the restart ladder
+    (reference class Optimization, opt.h:17-105)."""
+
+    model: str
+    mass: float
+    total_energy: float
+    purity: float
+    sigma_r0: np.ndarray                  # initial characteristic-length guess
+    diag_lengths: np.ndarray = None       # (2, PhaseDim)
+    off_params: np.ndarray = None         # (6,): m_R, l_R(2), m_I, l_I(2)
+    diag_magnitudes: np.ndarray = None    # (2,) analytic magnitudes
+    off_magnitude: float = 1.0
+    lbfgs_steps: int = LBFGS_STEPS
+    seed: int = 0
+
+    def __post_init__(self):
+        self.sigma_r0 = np.asarray(self.sigma_r0, dtype=np.float64)
+        if self.diag_lengths is None:
+            self.diag_lengths = np.tile(self.sigma_r0, (2, 1))
+        if self.off_params is None:
+            self.off_params = self._initial_off()
+        if self.diag_magnitudes is None:
+            self.diag_magnitudes = np.ones(2)
+        self._tick = 0
+
+    def _initial_off(self):
+        return np.concatenate(
+            [[INITIAL_MAGNITUDE], self.sigma_r0, [INITIAL_MAGNITUDE], self.sigma_r0]
+        )
+
+    # -- bounds from the point cloud (opt.cpp:1026-1052) ---------------------------
+    @staticmethod
+    def length_bounds(points):
+        n = points.shape[0]
+        mean = np.mean(points, axis=0)
+        std = np.sqrt(np.maximum(np.mean(points**2, axis=0) - mean**2, 0.0))
+        std = np.maximum(std, MIN_CHAR_LENGTH)
+        return np.maximum(std / np.sqrt(n), MIN_CHAR_LENGTH), 2.0 * std
+
+    def _pack_data(self, density: Density, extra: Density, surface_energies):
+        active = np.asarray(density.active)
+        diag_idx = jnp.asarray(list(DIAG_INDICES))
+        dlb, dub = [], []
+        for k in DIAG_INDICES:
+            lb, ub = self.length_bounds(np.asarray(density.points[k]))
+            dlb.append(lb)
+            dub.append(ub)
+        olb, oub = self.length_bounds(np.asarray(density.points[OFFDIAG_INDEX]))
+        data = dict(
+            dpts=density.points[diag_idx],
+            drho=jnp.real(density.rho[diag_idx]),
+            depts=extra.points[diag_idx],
+            derho=jnp.real(extra.rho[diag_idx]),
+            opts=density.points[OFFDIAG_INDEX],
+            orho=density.rho[OFFDIAG_INDEX],
+            oepts=extra.points[OFFDIAG_INDEX],
+            oerho=extra.rho[OFFDIAG_INDEX],
+            dmask=jnp.asarray(active[list(DIAG_INDICES)], dtype=jnp.float64),
+            omask=jnp.asarray(float(active[OFFDIAG_INDEX])),
+            energies=jnp.asarray(surface_energies),
+            dlb=jnp.asarray(np.stack(dlb)),
+            dub=jnp.asarray(np.stack(dub)),
+            olb=jnp.concatenate([jnp.asarray([COMPLEX_MAG_LB]), jnp.asarray(olb),
+                                 jnp.asarray([COMPLEX_MAG_LB]), jnp.asarray(olb)]),
+            oub=jnp.concatenate([jnp.asarray([COMPLEX_MAG_UB]), jnp.asarray(oub),
+                                 jnp.asarray([COMPLEX_MAG_UB]), jnp.asarray(oub)]),
+            targets=jnp.asarray([1.0, self.total_energy, self.purity]),
+        )
+        return data, bool(active[OFFDIAG_INDEX])
+
+    # -- the main entry (reference Optimization::optimize, opt.cpp:1019) -----------
+    def optimize(self, density: Density, extra: Density, surface_energies) -> OptResult:
+        data, off_active = self._pack_data(density, extra, surface_energies)
+        self._tick += 1
+
+        def run(start_diag, start_off, tag):
+            dl, of, err, avgs = _run_stage(
+                jnp.asarray(start_diag), jnp.asarray(start_off), data,
+                off_active, self.lbfgs_steps, AL_OUTER,
+            )
+            check = self._check_averages(np.asarray(avgs), off_active)
+            return dict(
+                diag_lengths=np.asarray(dl), off_params=np.asarray(of),
+                error=float(err), check=check, tag=tag,
+            )
+
+        # clip starts into the current bounds (move_into_bounds, opt.cpp:1054-1067)
+        def clipped(diag, off):
+            d = np.clip(diag, np.asarray(data["dlb"]), np.asarray(data["dub"]))
+            o = np.clip(off, np.asarray(data["olb"]), np.asarray(data["oub"]))
+            return d, o
+
+        res = run(*clipped(self.diag_lengths, self.off_params), "local_previous")
+        if self._accepts(res):
+            return self._finish(res, data)
+        init_diag = np.tile(self.sigma_r0, (2, 1))
+        res2 = run(*clipped(init_diag, self._initial_off()), "local_initial")
+        res = self._compare(res, res2)
+        if self._accepts(res):
+            return self._finish(res, data)
+        gkey = jax.random.PRNGKey(self.seed + self._tick)
+        gdiag = np.asarray(_global_candidates(gkey, data))
+        goff = np.concatenate([[1.0], gdiag[0], [1.0], gdiag[0]])
+        res3 = run(*clipped(gdiag, goff), "global")
+        res = self._compare(res, res3)
+        return self._finish(res, data)
+
+    def _check_averages(self, avgs, off_active) -> np.ndarray:
+        targets = np.asarray([1.0, self.total_energy, self.purity])
+        rel = np.abs(avgs / targets - 1.0)
+        return np.where(rel < AVERAGE_TOLERANCE, 0.0, rel)
+
+    @staticmethod
+    def _accepts(res) -> bool:
+        return bool(np.all(res["check"] == 0.0))
+
+    @staticmethod
+    def _compare(old, new) -> dict:
+        """compare_and_overwrite (opt.cpp:1272-1318)."""
+        c_old, c_new = old["check"], new["check"]
+        better = int(np.sum((c_new < c_old) & (c_old > 2 * AVERAGE_TOLERANCE)))
+        worse = int(np.sum((c_new > c_old) & (c_new > 2 * AVERAGE_TOLERANCE)))
+        if better > worse or (better == worse and c_new.sum() < c_old.sum()):
+            return new
+        if better == worse and new["error"] < old["error"]:
+            return new
+        return old
+
+    def _finish(self, res, data) -> OptResult:
+        self.diag_lengths = res["diag_lengths"]
+        self.off_params = res["off_params"]
+        mags, off_mag = _analytic_magnitudes(
+            jnp.asarray(self.diag_lengths), jnp.asarray(self.off_params), data
+        )
+        dmask = np.asarray(data["dmask"]) > 0
+        self.diag_magnitudes = np.where(dmask, np.asarray(mags), 1.0)
+        self.off_magnitude = float(off_mag) if float(data["omask"]) > 0 else 1.0
+        return OptResult(error=res["error"], steps=[self.lbfgs_steps], opt_type=res["tag"])
+
+    # -- fitted parameters ----------------------------------------------------------
+    def fitted_params(self):
+        """(diag KernelParams with analytic magnitudes, ComplexKernelParams)."""
+        diag = RK.KernelParams(
+            magnitude=jnp.asarray(self.diag_magnitudes),
+            lengths=jnp.asarray(self.diag_lengths),
+            noise=jnp.full(2, INITIAL_NOISE),
+        )
+        off = jnp.asarray(self.off_params)
+        d = (off.shape[0] - 2) // 2
+        off_p = CK.ComplexKernelParams(
+            magnitude=jnp.asarray(self.off_magnitude),
+            real_magnitude=off[0],
+            real_lengths=off[1 : 1 + d],
+            imag_magnitude=off[1 + d],
+            imag_lengths=off[2 + d :],
+            noise=jnp.asarray(INITIAL_NOISE),
+        )
+        return diag, off_p

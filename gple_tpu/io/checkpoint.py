@@ -1,0 +1,87 @@
+"""Checkpoint / resume for GPR-MQCLE runs.
+
+The reference has NO restart capability: state streams to text files that
+cannot be reloaded (SURVEY.md section 5).  Here the full run state --
+sampled points, density values, active flags, hyperparameters, analytic
+magnitudes, MC tuning state, RNG key, tick counter, and conserved targets --
+round-trips through a single ``.npz`` archive (orbax is available but brings
+no benefit at these sizes; the archive stays a plain, inspectable format).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gple_tpu.sampler.mc import MCParameters
+from gple_tpu.storage import Density
+
+
+def save_checkpoint(path: str, driver, tick: int) -> None:
+    """Persist a :class:`gple_tpu.driver.GPLEDriver` mid-run."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    opt = driver.optimizer
+    np.savez_compressed(
+        path,
+        tick=tick,
+        key=np.asarray(driver.key),
+        points=np.asarray(driver.density.points),
+        rho=np.asarray(driver.density.rho),
+        active=np.asarray(driver.density.active),
+        extra_points=np.asarray(driver.extra.points),
+        extra_rho=np.asarray(driver.extra.rho),
+        diag_lengths=np.asarray(opt.diag_lengths),
+        off_params=np.asarray(opt.off_params),
+        diag_magnitudes=np.asarray(opt.diag_magnitudes),
+        off_magnitude=opt.off_magnitude,
+        total_energy=driver.total_energy,
+        purity=driver.purity,
+        purity_ratio=driver.purity_ratio,
+        mc_steps=np.asarray([p.num_steps for p in driver.mc_params]),
+        mc_displacements=np.asarray([p.displacement for p in driver.mc_params]),
+    )
+
+
+def load_checkpoint(path: str, driver) -> int:
+    """Restore a driver saved with :func:`save_checkpoint`; returns the tick
+    to resume from."""
+    from gple_tpu.gp.opt import Optimizer
+
+    with np.load(path) as z:
+        driver.key = jnp.asarray(z["key"])
+        driver.density = Density(
+            points=jnp.asarray(z["points"]),
+            rho=jnp.asarray(z["rho"]),
+            active=jnp.asarray(z["active"]),
+        )
+        driver.extra = Density(
+            points=jnp.asarray(z["extra_points"]),
+            rho=jnp.asarray(z["extra_rho"]),
+            active=jnp.asarray(z["active"]),
+        )
+        driver.total_energy = float(z["total_energy"])
+        driver.purity = float(z["purity"])
+        driver.purity_ratio = float(z["purity_ratio"])
+        driver.optimizer = Optimizer(
+            model=driver.cfg.model,
+            mass=driver.cfg.mass,
+            total_energy=driver.total_energy,
+            purity=driver.purity,
+            sigma_r0=np.asarray(driver.cfg.sigma_r0),
+            diag_lengths=np.asarray(z["diag_lengths"]),
+            off_params=np.asarray(z["off_params"]),
+            diag_magnitudes=np.asarray(z["diag_magnitudes"]),
+            off_magnitude=float(z["off_magnitude"]),
+            seed=driver.cfg.seed,
+        )
+        driver.mc_params = [
+            MCParameters(num_steps=int(s), displacement=float(d))
+            for s, d in zip(z["mc_steps"], z["mc_displacements"])
+        ]
+        tick = int(z["tick"])
+    driver.gps = driver._refit(driver.density)
+    driver.opt_result = type("R", (), {"error": 0.0, "opt_type": "resumed"})()
+    return tick

@@ -1,0 +1,58 @@
+"""Checkpoint/resume round-trip (new capability; the reference cannot resume)."""
+
+import numpy as np
+import pytest
+
+from gple_tpu.config import GPLEConfig
+from gple_tpu.driver import GPLEDriver
+from gple_tpu.io import checkpoint as ckpt
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = GPLEConfig(
+        model="DAC", mass=2000.0, x0=-10.0, p0=30.0, sigma_p0=1.5,
+        output_time=1.0, reopt_time=2.0, dt=0.5, num_points=24,
+    )
+    drv = GPLEDriver(cfg)
+    drv.initialize()
+    for tick in range(1, 3):
+        drv.step(tick)
+    path = str(tmp_path / "state.npz")
+    ckpt.save_checkpoint(path, drv, 2)
+
+    drv2 = GPLEDriver(cfg)
+    tick = ckpt.load_checkpoint(path, drv2)
+    assert tick == 2
+    np.testing.assert_allclose(
+        np.asarray(drv2.density.points), np.asarray(drv.density.points), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(drv2.density.rho), np.asarray(drv.density.rho), atol=0
+    )
+    assert drv2.total_energy == drv.total_energy
+    np.testing.assert_allclose(drv2.optimizer.diag_lengths, drv.optimizer.diag_lengths)
+    assert drv2.mc_params[0].num_steps == drv.mc_params[0].num_steps
+
+    # both drivers advance identically from the restored state
+    drv.key = drv2.key  # align RNG
+    t1 = drv.step(3)
+    t2 = drv2.step(3)
+    np.testing.assert_allclose(
+        np.asarray(drv2.density.rho), np.asarray(drv.density.rho), atol=1e-12
+    )
+
+
+def test_run_with_checkpointing(tmp_path):
+    cfg = GPLEConfig(
+        model="DAC", mass=2000.0, x0=-10.0, p0=30.0, sigma_p0=1.5,
+        output_time=1.0, reopt_time=2.0, dt=0.5, num_points=24,
+    )
+    path = str(tmp_path / "ck.npz")
+    drv = GPLEDriver(cfg)
+    drv.run(max_ticks=4, checkpoint_path=path, checkpoint_every=2)
+    import os
+
+    assert os.path.exists(path)
+    drv2 = GPLEDriver(cfg)
+    hist = drv2.run(max_ticks=6, resume_from=path)
+    assert len(hist) >= 1

@@ -1,0 +1,110 @@
+"""Tests for the constrained hyperparameter optimizer (reference opt.cpp).
+
+Scenario mirrors the reference's initial optimization: Metropolis-sample the
+initial Gaussian, optimize kernel hyperparameters under the conservation
+constraints, and verify the analytic GP integrals reproduce population = 1,
+the initial energy, and purity = 1 within the 5% tolerance (the reference's
+``check_averages`` acceptance rule).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gple_tpu.gp.opt import AVERAGE_TOLERANCE, Optimizer
+from gple_tpu.models import tully
+from gple_tpu.observables import total_energy_each_surface
+from gple_tpu.ops import kernels as RK
+from gple_tpu.sampler import mc
+from gple_tpu.storage import Density, fit_gp_states
+
+MODEL = "DAC"
+MASS = 2000.0
+R0 = np.array([-10.0, 30.0])
+SIGMA = np.array([1.0 / 3.0, 1.5])  # sigma_x = hbar/(2 sigma_p) with sigma_p = 1.5
+
+
+def sampled_density(n=64, seed=0):
+    def dist(params, pts):
+        return mc.initial_distribution(params[0], params[1], pts, 0, 0, (1.0, 0.0), (0.0, 0.0))
+
+    key = jax.random.PRNGKey(seed)
+    pts0 = jnp.asarray(R0)[None, :] + jax.random.normal(key, (n, 2)) * jnp.asarray(SIGMA)
+    pts, rho, _ = mc.element_monte_carlo(
+        jax.random.PRNGKey(seed + 1), dist, (jnp.asarray(R0), jnp.asarray(SIGMA)),
+        pts0, mc.MCParameters(), tune=True,
+    )
+    points = jnp.stack([pts, pts, pts])
+    rho_all = jnp.stack([rho, jnp.zeros_like(rho), jnp.zeros_like(rho)])
+    density = Density(points=points, rho=rho_all,
+                      active=jnp.asarray([True, False, False]))
+    ek, _ = jax.random.split(key)
+    epts, erho = mc.generate_extra_points_element(
+        ek, pts, 5 * n, dist, (jnp.asarray(R0), jnp.asarray(SIGMA))
+    )
+    extra = Density(
+        points=jnp.stack([epts] * 3),
+        rho=jnp.stack([erho, jnp.zeros_like(erho), jnp.zeros_like(erho)]),
+        active=density.active,
+    )
+    return density, extra
+
+
+@pytest.fixture(scope="module")
+def opt_run():
+    density, extra = sampled_density()
+    energies = total_energy_each_surface(MODEL, density, MASS)
+    total_energy = float(energies[0])
+    optimizer = Optimizer(
+        model=MODEL, mass=MASS, total_energy=total_energy, purity=1.0,
+        sigma_r0=SIGMA, lbfgs_steps=40,
+    )
+    result = optimizer.optimize(density, extra, energies)
+    return optimizer, result, density, energies, total_energy
+
+
+def test_constraints_satisfied(opt_run):
+    optimizer, result, density, energies, e0 = opt_run
+    diag_params, off_params = optimizer.fitted_params()
+    states = fit_gp_states(diag_params, off_params, density)
+    pop = float(states.population())
+    energy = float(states.total_energy(jnp.asarray(energies)))
+    purity = float(states.purity())
+    assert pop == pytest.approx(1.0, rel=AVERAGE_TOLERANCE)
+    assert energy == pytest.approx(e0, rel=AVERAGE_TOLERANCE)
+    assert purity == pytest.approx(1.0, rel=3 * AVERAGE_TOLERANCE)
+
+
+def test_bounds_respected(opt_run):
+    optimizer, result, density, _, _ = opt_run
+    lb, ub = Optimizer.length_bounds(np.asarray(density.points[0]))
+    assert np.all(optimizer.diag_lengths[0] >= lb - 1e-9)
+    assert np.all(optimizer.diag_lengths[0] <= ub + 1e-9)
+
+
+def test_fit_quality(opt_run):
+    """The optimized GP must reproduce the sampled Gaussian accurately."""
+    optimizer, result, density, _, _ = opt_run
+    diag_params, off_params = optimizer.fitted_params()
+    states = fit_gp_states(diag_params, off_params, density)
+    state0 = jax.tree.map(lambda a: a[0], states.diag)
+    mean, _, _ = RK.predict_real(state0, density.points[0])
+    np.testing.assert_allclose(
+        np.asarray(mean), np.real(np.asarray(density.rho[0])),
+        atol=2e-3 * float(jnp.max(jnp.real(density.rho[0]))),
+    )
+
+
+def test_magnitudes_analytic(opt_run):
+    optimizer, _, _, _, _ = opt_run
+    assert optimizer.diag_magnitudes[0] > 0
+    # inactive element keeps magnitude 1
+    assert optimizer.diag_magnitudes[1] == 1.0
+    assert optimizer.off_magnitude == 1.0
+
+
+def test_result_metadata(opt_run):
+    _, result, _, _, _ = opt_run
+    assert result.opt_type in ("local_previous", "local_initial", "global")
+    assert np.isfinite(result.error)
