@@ -22,6 +22,12 @@ import sys
 import time
 
 
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
 def measure(step_fn, args, n_warmup, n_steps):
     import jax
 
@@ -37,6 +43,7 @@ def measure(step_fn, args, n_warmup, n_steps):
 
 
 def bench(n_points: int, n_steps: int, quick: bool):
+    _setup_jax()
     import jax
 
     import __graft_entry__ as g

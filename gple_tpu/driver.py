@@ -47,6 +47,7 @@ from gple_tpu.storage import (
     fit_gp_states,
     predict_element,
 )
+from gple_tpu.utils import ri
 from gple_tpu.utils.constants import purity_factor
 
 
@@ -87,8 +88,8 @@ def _grid_predictions(model_unused, gps: GPStates, grid_pts):
         else:
             d = 0 if k == 0 else 1
             state = jax.tree.map(lambda a: a[d], gps.diag)
-            _, var, cut = RK.predict_real(state, grid_pts)
-            cut = cut.astype(jnp.complex128)
+            _, var, mean_cut = RK.predict_real(state, grid_pts)
+            cut = ri.ri(mean_cut)
         active = gps.active[k]
         preds.append(jnp.where(active, cut, 0.0))
         variances.append(jnp.where(active, var, 0.0))
@@ -149,7 +150,7 @@ class GPLEDriver:
         )
         n = cfg.num_points
         pts = jnp.tile(jnp.asarray(cfg.r0)[None, None, :], (NUM_ELEMENTS, n, 1))
-        rho = init_dist_all(init_params, pts)
+        rho = init_dist_all(init_params, pts)  # (3, N, 2) RI
         density = Density(points=pts, rho=rho, active=jnp.asarray(active))
         # Metropolis selection of each active element (main.cpp:57)
         new_pts, new_rho = [], []
@@ -198,7 +199,7 @@ class GPLEDriver:
                 )
             else:
                 p = jnp.tile(density.points[k][:1], (n_extra, 1))
-                r = jnp.zeros(n_extra, dtype=jnp.complex128)
+                r = jnp.zeros((n_extra, 2), dtype=p.dtype)
             pts.append(p)
             rho.append(r)
         return Density(points=jnp.stack(pts), rho=jnp.stack(rho), active=density.active)
@@ -248,8 +249,8 @@ class GPLEDriver:
 
     def _element_change(self, density, extra, old_active, new_active):
         """new_element_point_selection (mc.cpp:407-537)."""
-        pts = np.asarray(density.points)
-        rho = np.asarray(density.rho)
+        pts = np.array(density.points)   # mutable copies
+        rho = np.array(density.rho)
         candidates = jnp.asarray(
             np.concatenate(
                 [pts.reshape(-1, pts.shape[-1]), np.asarray(extra.points).reshape(-1, 2)]
@@ -349,11 +350,14 @@ class GPLEDriver:
         )
         self.writers.write_param(triples)
         self.writers.write_points(
-            np.asarray(density.points), np.asarray(density.rho),
-            np.asarray(self.extra.points), np.asarray(self.extra.rho),
+            np.asarray(density.points), density.rho_complex,
+            np.asarray(self.extra.points), self.extra.rho_complex,
         )
         preds, variances = _grid_predictions(cfg.model, gps, self._grid)
-        self.writers.write_phase(np.asarray(preds), np.asarray(variances))
+        preds_c = np.asarray(preds)
+        self.writers.write_phase(
+            preds_c[..., 0] + 1.0j * preds_c[..., 1], np.asarray(variances)
+        )
         self.writers.write_log(
             rec.time, getattr(self.opt_result, "error", 0.0),
             [p.num_steps for p in self.mc_params],

@@ -20,21 +20,24 @@ Design notes:
   and blended by the (vectorized) coupling mask -- branch-free control flow
   for XLA.  With the reference's CouplingCriterion = 0 the mask is always
   true, matching its behavior exactly.
+* Complex density values are RI arrays (trailing axis 2 = Re/Im; complex128 is
+  not a TPU type): phase factors become rotations, and the off-diagonal
+  rotation / branch recombination expand into explicit Re/Im arithmetic.
 * Distribution access follows the (dist_fn, dist_params) convention of the
-  sampler: ``dist_fn(dist_params, pts (3, M, PhaseDim)) -> (3, M) complex``,
+  sampler: ``dist_fn(dist_params, pts (3, M, PhaseDim)) -> (3, M, 2)`` RI,
   one row per lower-triangular element in storage order (00), (10), (11).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from gple_tpu.models import tully
-from gple_tpu.storage import ELEMENTS, NUM_ELEMENTS, OFFDIAG_INDEX, Density, element_index
+from gple_tpu.storage import ELEMENTS, NUM_ELEMENTS, OFFDIAG_INDEX, Density
+from gple_tpu.utils import ri
 from gple_tpu.utils.constants import HBAR
 
 #: off-diagonal-force branches (evolve.cpp:12-16)
@@ -81,17 +84,37 @@ def omega0(model: str, xa, xb, i: int, j: int):
 
 def _offdiagonal_rotation(model, rho3, x, p, mass, dt, criterion):
     """Rotate the triangular 3-vector (rho00, rho10, rho11) by the coupling
-    angle phi = (p/m) d01(x) (evolve.cpp:214-228).  ``rho3`` is (3, M)."""
+    angle phi = (p/m) d01(x) (evolve.cpp:214-228).  ``rho3`` is (3, M, 2) RI."""
     couple = is_coupling(model, x, p, mass, dt, criterion)
     d01 = tully.adiabatic_coupling(model, x)[..., 0, 1]
     phi = (p / mass) * d01 * couple
     c = jnp.cos(2.0 * phi * dt)
     s = jnp.sin(2.0 * phi * dt)
     r00, r10, r11 = rho3[0], rho3[1], rho3[2]
-    re10 = jnp.real(r10)
-    new00 = (1.0 + c) / 2.0 * r00 - s * re10 + (1.0 - c) / 2.0 * r11
-    new10 = s / 2.0 * r00 + c * re10 + 1.0j * jnp.imag(r10) - s / 2.0 * r11
-    new11 = (1.0 - c) / 2.0 * r00 + s * re10 + (1.0 + c) / 2.0 * r11
+    re10 = r10[..., 0]
+    half_p = (1.0 + c) / 2.0
+    half_m = (1.0 - c) / 2.0
+    new00 = jnp.stack(
+        [
+            half_p * r00[..., 0] - s * re10 + half_m * r11[..., 0],
+            half_p * r00[..., 1] + half_m * r11[..., 1],
+        ],
+        axis=-1,
+    )
+    new10 = jnp.stack(
+        [
+            s / 2.0 * r00[..., 0] + c * re10 - s / 2.0 * r11[..., 0],
+            s / 2.0 * r00[..., 1] + r10[..., 1] - s / 2.0 * r11[..., 1],
+        ],
+        axis=-1,
+    )
+    new11 = jnp.stack(
+        [
+            half_m * r00[..., 0] + s * re10 + half_p * r11[..., 0],
+            half_m * r00[..., 1] + half_p * r11[..., 1],
+        ],
+        axis=-1,
+    )
     return jnp.stack([new00, new10, new11])
 
 
@@ -100,7 +123,7 @@ def backward_predict(
     mass,
     dt,
     r_new,                  # (M, 2) phase coordinates AFTER the forward move
-    rho_old,                # (M,) complex or None: exact density override
+    rho_old,                # (M, 2) RI or None: exact density override
     source_elem: int,       # static triangular index of the evolving element
     dist_fn,
     dist_params,
@@ -131,15 +154,17 @@ def backward_predict(
 
     # one batched GP query per target element at (x4, p3)
     query = jnp.stack([x4, p3], axis=-1).reshape(NUM_ELEMENTS, -1, 2)  # (3, 3M, 2)
-    rho_flat = dist_fn(dist_params, query)                            # (3, 3M)
-    rho_pred = rho_flat.reshape(NUM_ELEMENTS, -1, 3)                  # (3, M, 3)
+    rho_flat = dist_fn(dist_params, query)                            # (3, 3M, 2)
+    rho_pred = rho_flat.reshape(NUM_ELEMENTS, -1, 3, 2)               # (3, M, 3br, 2)
     if rho_old is not None:
         # the exact element keeps its known density on the static branch
-        rho_pred = rho_pred.at[source_elem, :, 1].set(rho_old)
+        rho_pred = rho_pred.at[source_elem, :, 1, :].set(rho_old)
 
     # adiabatic phase on the off-diagonal component from (x4 -> x2)
-    ph = jnp.exp(1.0j * omega0(model, x2[:, None], x4[OFFDIAG_INDEX], 0, 1) * dt / 2.0)
-    rho_pred = rho_pred.at[OFFDIAG_INDEX].multiply(ph)
+    theta = omega0(model, x2[:, None], x4[OFFDIAG_INDEX], 0, 1) * dt / 2.0
+    rho_pred = rho_pred.at[OFFDIAG_INDEX].set(
+        ri.phase_mul(rho_pred[OFFDIAG_INDEX], theta)
+    )
 
     # per-branch off-diagonal rotation at (x2, p2[n]) over dt/2
     def rotate_branch(n):
@@ -147,29 +172,40 @@ def backward_predict(
             model, rho_pred[:, :, n], x2, p2[:, n], mass, dt / 2.0, criterion
         )
 
-    rotated = jnp.stack([rotate_branch(n) for n in range(3)], axis=-1)  # (3, M, 3)
+    rotated = jnp.stack([rotate_branch(n) for n in range(3)], axis=2)  # (3, M, 3br, 2)
 
     # branch recombination (evolve.cpp:320-348)
     r0m, r1m, r2m = rotated[0, :, 0], rotated[1, :, 0], rotated[2, :, 0]   # n = -1
     r0z, r1z, r2z = rotated[0, :, 1], rotated[1, :, 1], rotated[2, :, 1]   # n = 0
     r0p, r1p, r2p = rotated[0, :, 2], rotated[1, :, 2], rotated[2, :, 2]   # n = +1
-    v_minus = (r0m + 2.0 * jnp.real(r1m) + r2m) / 4.0
-    v_zero = (r0z - r2z) / 2.0
-    v_plus = (r0p - 2.0 * jnp.real(r1p) + r2p) / 4.0
-    combined = jnp.stack(
+    # v_minus = (r0 + 2 Re(r1) + r2) / 4 ; the 2 Re(r1) enters Re only
+    v_minus = jnp.stack(
         [
-            v_minus + v_zero + v_plus,
-            v_minus + 1.0j * jnp.imag(r1z) - v_plus,
-            v_minus - v_zero + v_plus,
-        ]
-    )                                                                 # (3, M)
+            (r0m[..., 0] + 2.0 * r1m[..., 0] + r2m[..., 0]) / 4.0,
+            (r0m[..., 1] + r2m[..., 1]) / 4.0,
+        ],
+        axis=-1,
+    )
+    v_zero = (r0z - r2z) / 2.0
+    v_plus = jnp.stack(
+        [
+            (r0p[..., 0] - 2.0 * r1p[..., 0] + r2p[..., 0]) / 4.0,
+            (r0p[..., 1] + r2p[..., 1]) / 4.0,
+        ],
+        axis=-1,
+    )
+    mid = v_minus - v_plus
+    mid = mid.at[..., 1].add(r1z[..., 1])  # + i Im(r1z)
+    combined = jnp.stack(
+        [v_minus + v_zero + v_plus, mid, v_minus - v_zero + v_plus]
+    )                                                                 # (3, M, 2)
 
     # second off-diagonal rotation at (x2, p1) over dt/2
     combined = _offdiagonal_rotation(model, combined, x2, p1, mass, dt / 2.0, criterion)
 
     result = combined[source_elem]
     if i_src != j_src:
-        result = result * jnp.exp(1.0j * omega0(model, x0, x2, 0, 1) * dt / 2.0)
+        result = ri.phase_mul(result, omega0(model, x0, x2, 0, 1) * dt / 2.0)
     return result
 
 
@@ -193,7 +229,7 @@ def evolve_step(
     new_points = []
     new_rho = []
     # adiabatic-path distribution queries at the OLD coordinates, all elements
-    rho_at_old = dist_fn(dist_params, density.points)  # (3, N)
+    rho_at_old = dist_fn(dist_params, density.points)  # (3, N, 2)
     for k, (i, j) in enumerate(ELEMENTS):
         r = density.points[k]
         x0, p0 = r[:, 0], r[:, 1]
@@ -208,9 +244,9 @@ def evolve_step(
         # adiabatic: one full leapfrog, phase-rotated old density
         xc, pc = adiabatic_leapfrog(model, x0, p0, mass, dt, +1, i, j)
         r_ad = jnp.stack([xc, pc], axis=-1)
-        rho_ad = rho_at_old[k] * jnp.exp(-1.0j * omega0(model, x0, xc, i, j) * dt)
+        rho_ad = ri.phase_mul(rho_at_old[k], -omega0(model, x0, xc, i, j) * dt)
         new_points.append(jnp.where(couple[:, None], r_na, r_ad))
-        new_rho.append(jnp.where(couple, rho_na, rho_ad))
+        new_rho.append(jnp.where(couple[:, None], rho_na, rho_ad))
     return Density(
         points=jnp.stack(new_points), rho=jnp.stack(new_rho), active=density.active
     )
@@ -222,11 +258,11 @@ def predict_new_points(
     criterion: float = 0.0,
 ):
     """Density prediction for points with no known value (evolve.cpp:425-443):
-    backward prediction where coupled, zero elsewhere."""
+    backward prediction where coupled, zero elsewhere.  Returns (M, 2) RI."""
     rho = backward_predict(model, mass, dt, pts, None, elem, dist_fn, dist_params, criterion)
     x, p = pts[:, 0], pts[:, 1]
     couple = is_coupling(model, x, p, mass, dt, criterion)
-    return jnp.where(couple, rho, 0.0)
+    return jnp.where(couple[:, None], rho, 0.0)
 
 
 def is_very_small(model, mass, dt, density: Density, dist_fn, dist_params,
@@ -240,6 +276,6 @@ def is_very_small(model, mass, dt, density: Density, dist_fn, dist_params,
         pred = predict_new_points(
             model, mass, dt, test_pts, k, dist_fn, dist_params, criterion
         )
-        all_small = jnp.all(jnp.abs(pred) ** 2 < VERY_SMALL_EPSILON)
+        all_small = jnp.all(ri.abs2(pred) < VERY_SMALL_EPSILON)
         small.append(jnp.where(density.active[k], False, all_small))
     return jnp.stack(small)

@@ -296,9 +296,9 @@ class Optimizer:
         olb, oub = self.length_bounds(np.asarray(density.points[OFFDIAG_INDEX]))
         data = dict(
             dpts=density.points[diag_idx],
-            drho=jnp.real(density.rho[diag_idx]),
+            drho=density.rho[diag_idx][..., 0],
             depts=extra.points[diag_idx],
-            derho=jnp.real(extra.rho[diag_idx]),
+            derho=extra.rho[diag_idx][..., 0],
             opts=density.points[OFFDIAG_INDEX],
             orho=density.rho[OFFDIAG_INDEX],
             oepts=extra.points[OFFDIAG_INDEX],

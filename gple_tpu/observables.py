@@ -5,6 +5,9 @@ masked batched reductions.  These are the second, independent, way the program
 computes population / <r> / energy / purity (the first being the analytic GP
 integrals in :mod:`gple_tpu.storage`); the optimizer's ``check_averages``
 compares the two (reference ``opt.cpp:1200-1270``).
+
+Density values are RI arrays (trailing axis 2 = Re/Im; complex128 is not a
+TPU type).
 """
 
 from __future__ import annotations
@@ -13,19 +16,20 @@ import jax.numpy as jnp
 
 from gple_tpu.models import tully
 from gple_tpu.storage import DIAG_INDICES, OFFDIAG_INDEX, Density
+from gple_tpu.utils import ri
 
 
 def population_each_surface(density: Density) -> jnp.ndarray:
     """Normalized per-surface populations (predict.cpp:65-87)."""
     diag_idx = jnp.asarray(DIAG_INDICES)
-    sums = jnp.sum(jnp.real(density.rho[diag_idx]), axis=1)
+    sums = jnp.sum(density.rho[diag_idx, :, 0], axis=1)
     sums = jnp.where(density.active[diag_idx], sums, 0.0)
     return sums / jnp.sum(sums)
 
 
 def r_average_one_element(points, rho) -> jnp.ndarray:
     """<r> over one element's points, population-weighted (predict.cpp:89-107)."""
-    w = jnp.real(rho)
+    w = rho[..., 0]
     return (points.T @ w) / jnp.sum(w)
 
 
@@ -38,7 +42,7 @@ def standard_deviation_one_element(points) -> jnp.ndarray:
 
 def r_average_all_surfaces(density: Density) -> jnp.ndarray:
     diag_idx = jnp.asarray(DIAG_INDICES)
-    w = jnp.real(density.rho[diag_idx])
+    w = density.rho[diag_idx, :, 0]
     w = jnp.where(density.active[diag_idx][:, None], w, 0.0)
     num = jnp.einsum("end,en->d", density.points[diag_idx], w)
     return num / jnp.sum(w)
@@ -51,7 +55,7 @@ def total_energy_each_surface(model: str, density: Density, mass) -> jnp.ndarray
         pts, rho = density.points[k], density.rho[k]
         x, p = pts[:, 0], pts[:, 1]
         e = p**2 / (2.0 * mass) + tully.adiabatic_potential(model, x)[:, s]
-        w = jnp.real(rho)
+        w = rho[:, 0]
         out.append(jnp.sum(e * w) / jnp.sum(w))
     energies = jnp.stack(out)
     return jnp.where(density.active[jnp.asarray(DIAG_INDICES)], energies, 0.0)
@@ -64,7 +68,7 @@ def total_energy_all_surfaces(model: str, density: Density, mass) -> jnp.ndarray
         pts, rho = density.points[k], density.rho[k]
         x, p = pts[:, 0], pts[:, 1]
         e = p**2 / (2.0 * mass) + tully.adiabatic_potential(model, x)[:, s]
-        w = jnp.where(density.active[k], jnp.real(rho), 0.0)
+        w = jnp.where(density.active[k], rho[:, 0], 0.0)
         num = num + jnp.sum(e * w)
         den = den + jnp.sum(w)
     return num / den
@@ -74,7 +78,7 @@ def purity_each_element(density: Density) -> jnp.ndarray:
     """Sum |rho|^2 per element, as a (2, 2) matrix with the off-diagonal value
     mirrored (predict.cpp:222-244); ``.sum()`` of this matrix therefore counts
     the off-diagonal twice like the reference."""
-    sums = jnp.sum(jnp.abs(density.rho) ** 2, axis=1)
+    sums = jnp.sum(ri.abs2(density.rho), axis=1)
     sums = jnp.where(density.active, sums, 0.0)
     return jnp.asarray(
         [[sums[0], sums[OFFDIAG_INDEX]], [sums[OFFDIAG_INDEX], sums[2]]]

@@ -14,15 +14,23 @@ with the correlation kernel's parameters derived from the real/imaginary ones
 augmented 2N x 2N system [[K, Kt], [Kt*, K*]] is solved through its P/Q blocks
 (``complex_kernel.cpp:264-268``):
 
-    T = K^-1 Kt*                (Cholesky solve)
+    T = K^-1 Kt*                (real Cholesky, componentwise solves)
     P = (K - Kt T)^-1           (upper-left block, Hermitian)
     Q = -T P                    (lower-left block)
     v = P y + conj(Q y)         (upper half of the augmented solve)
 
-prediction mean = K_* v + Kt_* conj(v); the LOOCV error, variance, optimal
+prediction mean = K_* v + Kt_* conj(v); LOOCV error, variance, optimal
 magnitude, and the five-auxiliary-kernel purity integral follow the reference
-formulas cited inline.  As with the real kernel, every hand-derived gradient
-of the reference (complex_kernel.cpp:379-590) is replaced by ``jax.grad``.
+formulas cited inline.
+
+TPU representation: **complex128 does not exist on TPU**, so every complex
+quantity here is a trailing-axis-2 float64 RI array (see
+:mod:`gple_tpu.utils.ri`) and every complex matrix is an explicit (re, im)
+pair of float64 matrices; all O(N^3)/O(M N^2) contractions are real dots that
+map straight onto the MXU.  The Hermitian Schur inverse uses the real
+symmetric 2N x 2N embedding [[Sr, -Si], [Si, Sr]].  As with the real kernel,
+the reference's hand-derived gradients (complex_kernel.cpp:379-590) are
+replaced by ``jax.grad``.
 """
 
 from __future__ import annotations
@@ -38,6 +46,7 @@ from gple_tpu.ops.kernels import (
     cutoff_factor,
     gram,
 )
+from gple_tpu.utils import ri
 from gple_tpu.utils.constants import purity_factor
 
 
@@ -92,90 +101,124 @@ def correlation_params(p: ComplexKernelParams):
 
 
 def covariance_matrices(p: ComplexKernelParams, xa, xb, same: bool):
-    """(K, Kt): the covariance (real) and pseudo-covariance (complex)."""
+    """(K, Kt_re, Kt_im): covariance (real) and pseudo-covariance parts."""
     kr = p.real_magnitude**2 * gram(p.real_lengths, xa, xb)
     ki = p.imag_magnitude**2 * gram(p.imag_lengths, xa, xb)
     cm, cl = correlation_params(p)
     kc = cm**2 * gram(cl, xa, xb)
     noise = p.noise**2 * jnp.eye(xa.shape[-2], dtype=kr.dtype) if same else 0.0
     k = p.magnitude**2 * (kr + ki + noise)
-    kt = p.magnitude**2 * (kr - ki + 2.0j * kc)
-    return k, kt
+    kt_re = p.magnitude**2 * (kr - ki)
+    kt_im = p.magnitude**2 * 2.0 * kc
+    return k, kt_re, kt_im
 
 
 class ComplexTrainState(NamedTuple):
     params: ComplexKernelParams
     features: jnp.ndarray       # (N, PhaseDim)
-    labels: jnp.ndarray         # (N,) complex, rescaled
+    labels: jnp.ndarray         # (N, 2) RI, rescaled
     rescale: jnp.ndarray
-    p_block: jnp.ndarray        # (N, N) complex: upper-left augmented inverse
-    q_block: jnp.ndarray        # (N, N) complex: lower-left augmented inverse
-    v: jnp.ndarray              # (N,) complex: upper augmented solve
+    p_re: jnp.ndarray           # (N, N) Re of upper-left augmented inverse
+    p_im: jnp.ndarray           # (N, N) Im (antisymmetric: P Hermitian)
+    q_re: jnp.ndarray           # (N, N) Re of lower-left augmented inverse
+    q_im: jnp.ndarray
+    v: jnp.ndarray              # (N, 2) RI upper augmented solve
 
 
-def fit_complex(params: ComplexKernelParams, features, labels_raw) -> ComplexTrainState:
+def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainState:
     """Factorize the augmented training system (TrainingComplexKernel ctor,
-    complex_kernel.cpp:221-268)."""
-    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_raw)), 1e-300)
-    y = labels_raw * rescale
-    k, kt = covariance_matrices(params, features, features, same=True)
-    kc = k.astype(kt.dtype)
-    chol = jax.scipy.linalg.cho_factor(kc)
-    t = jax.scipy.linalg.cho_solve(chol, jnp.conj(kt))          # K^-1 Kt*
-    schur = kc - kt @ t                                          # K - Kt K^-1 Kt*
-    schur = 0.5 * (schur + schur.conj().T)
-    p_block = jnp.linalg.inv(schur)
-    p_block = 0.5 * (p_block + p_block.conj().T)
-    q_block = -t @ p_block
-    v = p_block @ y + jnp.conj(q_block @ y)
+    complex_kernel.cpp:221-268).  ``labels`` is (N, 2) RI."""
+    labels = jnp.asarray(labels)
+    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-300)
+    y = labels * rescale
+    k, kt_re, kt_im = covariance_matrices(params, features, features, same=True)
+    chol = jnp.linalg.cholesky(k)
+    solve = lambda r: jax.scipy.linalg.cho_solve((chol, True), r)
+    # T = K^-1 conj(Kt)
+    t_re = solve(kt_re)
+    t_im = solve(-kt_im)
+    # Schur = K - Kt T (Hermitian)
+    s_re = k - (kt_re @ t_re - kt_im @ t_im)
+    s_im = -(kt_re @ t_im + kt_im @ t_re)
+    s_re = 0.5 * (s_re + s_re.T)
+    s_im = 0.5 * (s_im - s_im.T)
+    # P = Schur^-1 via the real symmetric 2N x 2N embedding
+    n = k.shape[0]
+    m = jnp.block([[s_re, -s_im], [s_im, s_re]])
+    chol_m = jnp.linalg.cholesky(m)
+    rhs = jnp.concatenate([jnp.eye(n, dtype=k.dtype), jnp.zeros((n, n), dtype=k.dtype)])
+    x = jax.scipy.linalg.cho_solve((chol_m, True), rhs)
+    p_re, p_im = x[:n], x[n:]
+    p_re = 0.5 * (p_re + p_re.T)
+    p_im = 0.5 * (p_im - p_im.T)
+    # Q = -T P
+    q_re, q_im = ri.matmul(-t_re, -t_im, p_re, p_im)
+    # v = P y + conj(Q y)
+    py = ri.matvec(p_re, p_im, y)
+    qy = ri.matvec(q_re, q_im, y)
+    v = py + ri.conj(qy)
     return ComplexTrainState(
         params=params, features=features, labels=y, rescale=rescale,
-        p_block=p_block, q_block=q_block, v=v,
+        p_re=p_re, p_im=p_im, q_re=q_re, q_im=q_im, v=v,
     )
 
 
 def loocv_error_complex(state: ComplexTrainState) -> jnp.ndarray:
     """Complex leave-one-out CV error (complex_kernel.cpp:270-286)."""
-    p_diag = jnp.diagonal(state.p_block)
-    q_diag = jnp.diagonal(state.q_block)
-    denom = jnp.real(p_diag) ** 2 - jnp.abs(q_diag) ** 2
-    diff = (p_diag * state.v - jnp.conj(q_diag * state.v)) / denom
-    return jnp.sum(jnp.abs(diff) ** 2)
+    pd = jnp.diagonal(state.p_re)            # P Hermitian: diagonal real
+    qd = jnp.stack([jnp.diagonal(state.q_re), jnp.diagonal(state.q_im)], axis=-1)
+    denom = pd**2 - ri.abs2(qd)
+    num = ri.scale(state.v, pd) - ri.conj(ri.mul(qd, state.v))
+    return jnp.sum(ri.abs2(num) / denom**2)
 
 
 def optimal_magnitude_complex(state: ComplexTrainState) -> jnp.ndarray:
     """sqrt(Re(y^H v) / N) (complex_kernel.h:190-204)."""
-    within = jnp.real(jnp.vdot(state.labels, state.v)) / state.labels.shape[0]
+    within = ri.vdot_re(state.labels, state.v) / state.labels.shape[0]
     return jnp.sqrt(jnp.abs(within))
 
 
+def _mean_ri(k_star, kt_re, kt_im, v):
+    """K_* v + Kt_* conj(v): K_* real, Kt_* = (kt_re, kt_im)."""
+    return ri.rmatvec(k_star, v) + ri.matvec(kt_re, kt_im, ri.conj(v))
+
+
 def predict_complex(state: ComplexTrainState, test_features, with_variance: bool = True):
-    """Mean, variance, cutoff prediction at test points (complex_kernel.cpp:594-643)."""
+    """Mean, variance, cutoff prediction at test points (complex_kernel.cpp:594-643).
+
+    Returns RI means: ``(mean_raw (M, 2), var (M,), cutoff_raw (M, 2))``.
+    """
     p = state.params
-    k_star, kt_star = covariance_matrices(p, test_features, state.features, same=False)
-    k_star = k_star.astype(kt_star.dtype)
-    mean = k_star @ state.v + kt_star @ jnp.conj(state.v)
+    k_star, kt_re, kt_im = covariance_matrices(p, test_features, state.features, same=False)
+    mean = _mean_ri(k_star, kt_re, kt_im, state.v)
     if not with_variance:
         return mean / state.rescale, None, mean / state.rescale
     # self-covariance k(x, x) = sigma^2 (m_R^2 + m_I^2 + noise^2)
     self_k = p.magnitude**2 * (p.real_magnitude**2 + p.imag_magnitude**2 + p.noise**2)
-    pb, qb = state.p_block, state.q_block
-    t1 = jnp.einsum("mi,ij,mj->m", k_star, pb, jnp.conj(k_star))
-    t2 = jnp.einsum("mi,ij,mj->m", kt_star, jnp.conj(pb), jnp.conj(kt_star))
-    t3 = jnp.einsum("mi,ij,mj->m", kt_star, qb, jnp.conj(k_star))
-    t4 = jnp.einsum("mi,ij,mj->m", k_star, jnp.conj(qb), jnp.conj(kt_star))
-    var = jnp.real(self_k - t1 - t2 - t3 - t4)
-    cut = cutoff_factor(mean, var)
-    return mean / state.rescale, var, mean * cut / state.rescale
+    pr, pi, qr, qi = state.p_re, state.p_im, state.q_re, state.q_im
+    # Re(K_* P K_*^H): K_* real
+    t1 = jnp.sum((k_star @ pr) * k_star, axis=-1)
+    # Re(Kt_* conj(P) Kt_*^H)
+    w_re, w_im = ri.matmul(kt_re, kt_im, pr, -pi)
+    t2 = jnp.sum(w_re * kt_re + w_im * kt_im, axis=-1)
+    # Re(Kt_* Q K_*^T)
+    w_re, _ = ri.matmul(kt_re, kt_im, qr, qi)
+    t3 = jnp.sum(w_re * k_star, axis=-1)
+    # Re(K_* conj(Q) conj(Kt_*)^T)
+    u_re, u_im = k_star @ qr, -(k_star @ qi)
+    t4 = jnp.sum(u_re * kt_re + u_im * kt_im, axis=-1)
+    var = self_k - t1 - t2 - t3 - t4
+    cut = cutoff_factor(ri.absval(mean), var)
+    return mean / state.rescale, var, ri.scale(mean, cut) / state.rescale
 
 
-def extra_set_error_complex(state, test_features, test_labels_raw) -> jnp.ndarray:
-    """Squared prediction error on a held-out complex set (complex_kernel.cpp:645-646)."""
+def extra_set_error_complex(state, test_features, test_labels) -> jnp.ndarray:
+    """Squared prediction error on a held-out RI set (complex_kernel.cpp:645-646)."""
     p = state.params
-    k_star, kt_star = covariance_matrices(p, test_features, state.features, same=False)
-    mean = k_star.astype(kt_star.dtype) @ state.v + kt_star @ jnp.conj(state.v)
-    y = test_labels_raw * state.rescale
-    return jnp.sum(jnp.abs(mean - y) ** 2)
+    k_star, kt_re, kt_im = covariance_matrices(p, test_features, state.features, same=False)
+    mean = _mean_ri(k_star, kt_re, kt_im, state.v)
+    y = jnp.asarray(test_labels) * state.rescale
+    return jnp.sum(ri.abs2(mean - y))
 
 
 # -- purity via five auxiliary kernels (complex_kernel.cpp:287-377) -------------
@@ -211,8 +254,12 @@ def purity_complex(state: ComplexTrainState) -> jnp.ndarray:
     krc = aux_gram(*_aux_mixed(p.real_magnitude, p.real_lengths, cm, cl))
     kic = aux_gram(*_aux_mixed(p.imag_magnitude, p.imag_lengths, cm, cl))
     k1 = krp + kip + 2.0 * kcp
-    k2 = (krp - kip).astype(jnp.complex128) - 2.0j * (krc + kic)
-    v = state.v
-    quad = jnp.real(jnp.vdot(v, k1.astype(v.dtype) @ v)) + jnp.real(v @ (k2 @ v))
+    k2_re = krp - kip
+    k2_im = -2.0 * (krc + kic)
+    a, b = state.v[..., 0], state.v[..., 1]
+    # Re(v^H K1 v), K1 real symmetric
+    quad1 = a @ (k1 @ a) + b @ (k1 @ b)
+    # Re(v^T K2 v) = a^T C a - b^T C b - 2 a^T D b  (C = k2_re, D = k2_im sym)
+    quad2 = a @ (k2_re @ a) - b @ (k2_re @ b) - 2.0 * (a @ (k2_im @ b))
     factor = purity_factor(d) * 2.0 * jnp.pi**d * p.magnitude**4
-    return factor * quad / state.rescale**2
+    return factor * (quad1 + quad2) / state.rescale**2

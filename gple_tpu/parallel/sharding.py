@@ -45,7 +45,7 @@ def density_sharding(mesh: Mesh):
     """Shard the point axis of every Density leaf."""
     return Density(
         points=NamedSharding(mesh, P(None, POINTS_AXIS, None)),
-        rho=NamedSharding(mesh, P(None, POINTS_AXIS)),
+        rho=NamedSharding(mesh, P(None, POINTS_AXIS, None)),
         active=NamedSharding(mesh, P()),
     )
 

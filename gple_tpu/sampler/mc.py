@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gple_tpu.utils import ri
+
 #: Metropolis acceptance-ratio window (mc.cpp:19-21)
 MAX_ACCEPT_RATIO = 0.5
 MIN_ACCEPT_RATIO = 0.15
@@ -60,7 +62,7 @@ class MCParameters:
 
 def initial_distribution(r0, sigma_r0, pts, row, col, populations, phase_factors):
     """Initial Gaussian phase-space density of element (row, col) at ``pts``
-    (M, PhaseDim) (reference mc.cpp:30-50)."""
+    (M, PhaseDim), returned as an RI array (M, 2) (reference mc.cpp:30-50)."""
     r0 = jnp.asarray(r0)
     sig = jnp.asarray(sigma_r0)
     dim = r0.shape[0] // 2
@@ -70,18 +72,18 @@ def initial_distribution(r0, sigma_r0, pts, row, col, populations, phase_factors
     pops = jnp.asarray(populations)
     phases = jnp.asarray(phase_factors)
     weight = pops[row] * pops[col] / jnp.sum(pops**2)
-    return gauss * weight * jnp.exp(1.0j * (phases[row] - phases[col]))
+    return ri.phase_mul(ri.ri(gauss * weight), phases[row] - phases[col])
 
 
 @partial(jax.jit, static_argnums=(1, 3, 5))
 def markov_chain(key, dist_fn, dist_params, n_steps: int, pts, record: bool, displacement):
     """Advance all walkers ``n_steps`` Metropolis steps simultaneously.
 
-    ``dist_fn(dist_params, pts (M, PhaseDim)) -> (M,) complex``.  Returns
+    ``dist_fn(dist_params, pts (M, PhaseDim)) -> (M, 2) RI``.  Returns
     ``(final_pts, accept_mask (n_steps, M), chain or None)`` where ``chain`` is
     the recorded (n_steps + 1, M, PhaseDim) positions when ``record``.
     """
-    w0 = jnp.abs(dist_fn(dist_params, pts))
+    w0 = ri.absval(dist_fn(dist_params, pts))
 
     def step(carry, key_step):
         cur, w_cur = carry
@@ -89,7 +91,7 @@ def markov_chain(key, dist_fn, dist_params, n_steps: int, pts, record: bool, dis
         prop = cur + jax.random.uniform(
             k1, cur.shape, dtype=cur.dtype, minval=-displacement, maxval=displacement
         )
-        w_new = jnp.abs(dist_fn(dist_params, prop))
+        w_new = ri.absval(dist_fn(dist_params, prop))
         u = jax.random.uniform(k2, w_new.shape, dtype=w_new.dtype)
         accept = (w_new > w_cur) | (w_new > u * w_cur)
         nxt = jnp.where(accept[:, None], prop, cur)
@@ -227,7 +229,7 @@ def seed_new_element(key, candidate_pts, num_points: int, dist_fn, dist_params,
     with largest |rho| (zero-density picks are replaced by the best point),
     then random-walk them into place."""
     rho_all = dist_fn(dist_params, candidate_pts)
-    score = jnp.abs(rho_all) ** 2
+    score = ri.abs2(rho_all)
     top_score, top_idx = jax.lax.top_k(score, num_points)
     best = top_idx[0]
     chosen = jnp.where((top_score > 0.0)[:, None], candidate_pts[top_idx], candidate_pts[best])

@@ -8,6 +8,9 @@ and an ``active`` mask marks which elements currently carry density (the
 reference's inverse ``IsSmall`` flags).  Static shapes keep the whole pipeline
 jittable; inactive elements simply contribute zeros.
 
+Complex density values are stored as trailing-axis-2 float64 RI arrays
+(complex128 is not a TPU type; see :mod:`gple_tpu.utils.ri`).
+
 Element ordering is row-major lower-triangular like the reference's loops
 (``for iPES { for jPES <= iPES }``): index 0 = (0,0), 1 = (1,0), 2 = (1,1).
 The off-diagonal element is index 1.
@@ -15,13 +18,15 @@ The off-diagonal element is index 1.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gple_tpu.ops import complex_kernels as CK
 from gple_tpu.ops import kernels as RK
+from gple_tpu.utils import ri
 
 #: lower-triangular element order (row, col) for NumPES = 2
 ELEMENTS = ((0, 0), (1, 0), (1, 1))
@@ -38,7 +43,7 @@ class Density(NamedTuple):
     """All sampled phase-space points: the reference's ``AllPoints``.
 
     points: (3, N, PhaseDim) coordinates per element
-    rho:    (3, N) complex density values at those coordinates
+    rho:    (3, N, 2) RI density values at those coordinates
     active: (3,) bool -- element carries non-negligible density
     """
 
@@ -50,6 +55,20 @@ class Density(NamedTuple):
     def num_points(self) -> int:
         return self.points.shape[1]
 
+    @property
+    def rho_complex(self) -> np.ndarray:
+        """Host-side complex view for analysis/tests."""
+        r = np.asarray(self.rho)
+        return r[..., 0] + 1.0j * r[..., 1]
+
+    @classmethod
+    def from_complex(cls, points, rho_complex, active) -> "Density":
+        return cls(
+            points=jnp.asarray(points),
+            rho=ri.from_complex(jnp.asarray(rho_complex)),
+            active=jnp.asarray(active, dtype=bool),
+        )
+
     def element(self, row: int, col: int):
         k = element_index(row, col)
         return self.points[k], self.rho[k]
@@ -59,7 +78,7 @@ def make_density(num_points: int, r0, active, dtype=jnp.float64) -> Density:
     """Seed all active elements with ``num_points`` copies of r0 (main.cpp:44-56)."""
     r0 = jnp.asarray(r0, dtype=dtype)
     pts = jnp.tile(r0[None, None, :], (NUM_ELEMENTS, num_points, 1))
-    rho = jnp.zeros((NUM_ELEMENTS, num_points), dtype=jnp.complex128)
+    rho = jnp.zeros((NUM_ELEMENTS, num_points, 2), dtype=dtype)
     return Density(points=pts, rho=rho, active=jnp.asarray(active, dtype=bool))
 
 
@@ -75,9 +94,7 @@ class GPStates(NamedTuple):
 
     # -- whole-matrix analytic observables (predict.cpp:395-463) --------------
     def population(self) -> jnp.ndarray:
-        pops = jax.vmap(RK.population)(self.diag)
-        mask = self.active[jnp.asarray(DIAG_INDICES)]
-        return jnp.sum(jnp.where(mask, pops, 0.0))
+        return jnp.sum(self.population_each())
 
     def population_each(self) -> jnp.ndarray:
         pops = jax.vmap(RK.population)(self.diag)
@@ -111,7 +128,7 @@ def fit_gp_states(
     rebuilds TrainingKernels every tick, main.cpp:176)."""
     diag_idx = jnp.asarray(DIAG_INDICES)
     diag = jax.vmap(RK.fit_real)(
-        diag_params, density.points[diag_idx], density.rho[diag_idx]
+        diag_params, density.points[diag_idx], density.rho[diag_idx, :, 0]
     )
     off = CK.fit_complex(
         offdiag_params, density.points[OFFDIAG_INDEX], density.rho[OFFDIAG_INDEX]
@@ -121,19 +138,20 @@ def fit_gp_states(
 
 def predict_element(gps: GPStates, elem: int, pts, with_variance: bool = True):
     """Cutoff GP prediction for one element at ``pts`` (M, PhaseDim); zero when
-    the element is inactive (main.cpp:75-101).  ``elem`` is a static index."""
+    the element is inactive (main.cpp:75-101).  ``elem`` is a static index.
+    Returns an RI array (M, 2)."""
     if elem == OFFDIAG_INDEX:
         _, _, cut = CK.predict_complex(gps.offdiag, pts, with_variance)
     else:
         d = 0 if elem == 0 else 1
         state = jax.tree.map(lambda a: a[d], gps.diag)
-        _, _, cut = RK.predict_real(state, pts, with_variance)
-        cut = cut.astype(jnp.complex128)
+        _, _, mean_cut = RK.predict_real(state, pts, with_variance)
+        cut = ri.ri(mean_cut)
     return jnp.where(gps.active[elem], cut, 0.0)
 
 
 def make_distribution(gps: GPStates, with_variance: bool = True) -> Callable:
-    """Batched distribution function: pts (3, M, PhaseDim) -> (3, M) complex,
+    """Batched distribution function: pts (3, M, PhaseDim) -> (3, M, 2) RI,
     one row per element.  This is the reference's ``predict_distribution``
     closure (main.cpp:75-101), vectorized over all elements at once."""
 

@@ -1,0 +1,212 @@
+"""GPR validation harness: the reference ``test/`` subproject re-designed.
+
+The reference ships three standalone validation binaries built on Shogun GPR
+(``test/makefile:11``); their capabilities map here as:
+
+* ``screenshot_gp_test.x`` -> :func:`screenshot_fit`: fit ONE exact phase-space
+  snapshot from an oracle, report elementwise MSE and the negative log
+  marginal likelihood (``test/main_screenshot.cpp:11-123``).
+* ``evolve_gp_test.x``     -> :func:`evolve_fit`: fit every snapshot of a
+  trajectory, warm-starting hyperparameters from the previous frame, and log
+  population / potential / kinetic energy from the grid AND from the analytic
+  parameter integrals, before and after the conservation rescale
+  (``test/main_evolve.cpp:56-179``).
+* ``continue_gp_test.x``   -> covered by ``tests/test_opt.py`` (Metropolis-
+  sample an analytic Gaussian, fit, compare against the exact function;
+  ``test/continue_test.cpp``).
+
+Also provides the reference test suite's two numerical tools:
+
+* :func:`nll_loss` -- the negative log marginal likelihood objective
+  1/2 y^T K^-1 y + 1/2 ln|K| used by the Shogun-based tests
+  (``test/gpr.cpp:499-532``); the main program optimizes LOOCV instead.
+* :func:`conservation_rescale` -- the post-hoc linear rescale of per-surface
+  populations enforcing total population and energy conservation
+  (``test/gpr.cpp:913-992``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gple_tpu.gp.opt import _lbfgs_scan, _bounds_to_sigmoid, _sigmoid_to_bounds
+from gple_tpu.models import tully
+from gple_tpu.ops import kernels as RK
+
+#: points selected per snapshot (reference test/stdafx.h:47)
+DEFAULT_NUM_POINTS = 200
+
+
+def nll_loss(state: RK.RealTrainState) -> jnp.ndarray:
+    """Negative log marginal likelihood 1/2 y^T alpha + sum(log diag L)
+    (+ N/2 log 2pi omitted as a constant)."""
+    quad = 0.5 * jnp.dot(state.labels, state.alpha)
+    logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(state.chol))))
+    return quad + logdet
+
+
+def grid_weighted_selection(key, coords, values, n_points: int):
+    """Importance-select ``n_points`` grid points with probability ~ |value|
+    (reference test/gpr.cpp:215-291)."""
+    w = np.abs(np.asarray(values))
+    total = w.sum()
+    if total == 0:
+        idx = np.arange(n_points) % len(w)
+    else:
+        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        idx = rng.choice(len(w), size=min(n_points, (w > 0).sum()), replace=False,
+                         p=w / total)
+        if len(idx) < n_points:
+            idx = np.concatenate([idx, idx[: n_points - len(idx)]])
+    return jnp.asarray(coords[idx]), jnp.asarray(values[idx])
+
+
+def _fit_nll(features, labels, lengths0, lb, ub, steps: int = 60):
+    """Two-stage NLL hyperparameter fit (reference gpr.cpp:535-643 runs
+    Nelder-Mead then TNEWTON; here one L-BFGS in sigmoid space twice)."""
+
+    def loss(z):
+        lengths = _sigmoid_to_bounds(z, lb, ub)
+        params = RK.KernelParams(
+            magnitude=jnp.asarray(1.0), lengths=lengths, noise=jnp.asarray(1e-2)
+        )
+        st = RK.fit_real(params, features, labels)
+        return jnp.nan_to_num(nll_loss(st), nan=1e300, posinf=1e300)
+
+    z = _bounds_to_sigmoid(jnp.asarray(lengths0), lb, ub)
+    for _ in range(2):
+        z = _lbfgs_scan(loss, z, steps)
+    lengths = _sigmoid_to_bounds(z, lb, ub)
+    params = RK.KernelParams(
+        magnitude=jnp.asarray(1.0), lengths=lengths, noise=jnp.asarray(1e-2)
+    )
+    state = RK.fit_real(params, features, labels)
+    mag = RK.optimal_magnitude(state)
+    params = RK.KernelParams(magnitude=mag, lengths=lengths, noise=jnp.asarray(1e-2))
+    return RK.fit_real(params, features, labels)
+
+
+@dataclasses.dataclass
+class SnapshotFit:
+    state: RK.RealTrainState
+    mse: float
+    nll: float
+    population_grid: float
+    population_prm: float
+    prediction: np.ndarray
+
+
+def screenshot_fit(key, coords, values, da: float, n_points: int = DEFAULT_NUM_POINTS,
+                   lengths0=None) -> SnapshotFit:
+    """Fit one snapshot (coords (G, 2), real values (G,), cell area da) and
+    report MSE / NLL / populations both ways (main_screenshot.cpp:96-114)."""
+    feats, labels = grid_weighted_selection(key, np.asarray(coords), np.asarray(values),
+                                            n_points)
+    std = np.asarray(feats).std(axis=0)
+    lb = jnp.asarray(np.maximum(std / np.sqrt(n_points), 1e-2))
+    ub = jnp.asarray(2.0 * std)
+    if lengths0 is None:
+        lengths0 = 0.5 * std
+    state = _fit_nll(feats, labels, jnp.asarray(lengths0), lb, ub)
+    pred, _, _ = RK.predict_real(state, jnp.asarray(coords), with_variance=False)
+    mse = float(jnp.mean((pred - jnp.asarray(values)) ** 2))
+    return SnapshotFit(
+        state=state,
+        mse=mse,
+        nll=float(nll_loss(state)),
+        population_grid=float(np.sum(np.asarray(values)) * da),
+        population_prm=float(RK.population(state)),
+        prediction=np.asarray(pred),
+    )
+
+
+def conservation_rescale(populations, energies, target_population: float,
+                         target_energy: float):
+    """Per-surface linear rescale factors a s.t. sum(a * pop) = target_pop and
+    sum(a * pop * e) = target_energy (reference test/gpr.cpp:913-992 solves the
+    same 2x2 linear system for two surfaces)."""
+    pop = np.asarray(populations, dtype=float)
+    e = np.asarray(energies, dtype=float)
+    scale = np.ones_like(pop)
+    live = pop > 1e-12 * max(pop.max(), 1e-300)
+    if live.sum() >= 2:
+        a_mat = np.stack([pop[live], pop[live] * e[live]])
+        b = np.array([target_population, target_energy])
+        sol, *_ = np.linalg.lstsq(a_mat, b, rcond=None)
+        # exact when the 2x2 system is well conditioned; always re-normalize
+        # the population constraint exactly afterwards
+        scale[live] = sol
+        scale[live] *= target_population / np.dot(scale[live], pop[live])
+    elif live.sum() == 1:
+        scale[live] = target_population / pop[live]
+    return scale
+
+
+@dataclasses.dataclass
+class EvolveFitFrame:
+    time: float
+    mse: float
+    population_grid: np.ndarray
+    population_prm: np.ndarray
+    energy_grid: float
+    energy_prm: float
+    population_rescaled: np.ndarray
+    energy_rescaled: float
+
+
+def evolve_fit(key, times, frames, x_grid, p_grid, model: str, mass: float,
+               n_points: int = DEFAULT_NUM_POINTS) -> List[EvolveFitFrame]:
+    """Fit a whole trajectory of diagonal Wigner frames with warm-started
+    hyperparameters (reference test/main_evolve.cpp:54-179).
+
+    ``frames``: (T, 2, Nx, Np) real diagonal distributions from an oracle.
+    """
+    da = float((x_grid[1] - x_grid[0]) * (p_grid[1] - p_grid[0]))
+    gx, gp = np.meshgrid(np.asarray(x_grid), np.asarray(p_grid), indexing="ij")
+    coords = np.stack([gx.ravel(), gp.ravel()], axis=-1)
+    e_per_cell = [
+        coords[:, 1] ** 2 / (2.0 * mass)
+        + np.asarray(tully.adiabatic_potential(model, jnp.asarray(coords[:, 0])))[:, s]
+        for s in range(2)
+    ]
+    out: List[EvolveFitFrame] = []
+    warm = [None, None]
+    e0_target = None
+    for t_idx, t in enumerate(np.asarray(times)):
+        key, sub = jax.random.split(key)
+        pops_g, pops_p, es_g, es_p, mses = [], [], [], [], []
+        for s in range(2):
+            vals = np.asarray(frames[t_idx][s]).ravel()
+            if np.abs(vals).max() < 1e-12:
+                pops_g.append(0.0); pops_p.append(0.0); es_g.append(0.0); es_p.append(0.0)
+                mses.append(0.0)
+                continue
+            fit = screenshot_fit(sub, coords, vals, da, n_points, lengths0=warm[s])
+            warm[s] = np.asarray(fit.state.params.lengths)
+            pops_g.append(fit.population_grid)
+            pops_p.append(fit.population_prm)
+            es_g.append(float((vals * e_per_cell[s]).sum() * da))
+            es_p.append(float((fit.prediction * e_per_cell[s]).sum() * da))
+            mses.append(fit.mse)
+        if e0_target is None:
+            e0_target = sum(es_g)
+        scale = conservation_rescale(pops_p, np.asarray(es_p) / np.maximum(pops_p, 1e-300),
+                                     1.0, e0_target)
+        out.append(
+            EvolveFitFrame(
+                time=float(t),
+                mse=float(np.mean(mses)),
+                population_grid=np.asarray(pops_g),
+                population_prm=np.asarray(pops_p),
+                energy_grid=float(sum(es_g)),
+                energy_prm=float(sum(es_p)),
+                population_rescaled=np.asarray(pops_p) * scale,
+                energy_rescaled=float(np.dot(scale, es_p)),
+            )
+        )
+    return out

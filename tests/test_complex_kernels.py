@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from gple_tpu.ops import complex_kernels as CK
+from gple_tpu.utils import ri
 
 
 def make_dataset(n=32, seed=0):
@@ -14,6 +15,15 @@ def make_dataset(n=32, seed=0):
     f = 0.2 * np.exp(-0.5 * (x[:, 0] ** 2 + (x[:, 1] / 2.0) ** 2))
     y = f * np.exp(1.0j * (0.5 * x[:, 0] + 0.2 * x[:, 1]))
     return jnp.asarray(x), jnp.asarray(y)
+
+
+def to_ri(y):
+    return ri.from_complex(jnp.asarray(y))
+
+
+def to_c(z):
+    z = np.asarray(z)
+    return z[..., 0] + 1.0j * z[..., 1]
 
 
 def default_params(mag=1.0, mr=1.0, mi=0.8, noise=0.01):
@@ -40,28 +50,31 @@ def test_augmented_block_solve_matches_dense():
     """P/Q/v must equal the blocks of the explicit 2N x 2N augmented inverse."""
     x, y = make_dataset(20)
     p = default_params()
-    st = CK.fit_complex(p, x, y)
-    k, kt = CK.covariance_matrices(p, x, x, same=True)
+    st = CK.fit_complex(p, x, to_ri(y))
+    k, kt_re, kt_im = CK.covariance_matrices(p, x, x, same=True)
     k = np.asarray(k).astype(complex)
-    kt = np.asarray(kt)
+    kt = np.asarray(kt_re) + 1.0j * np.asarray(kt_im)
     aug = np.block([[k, kt], [kt.conj(), k.conj()]])
     aug_inv = np.linalg.inv(aug)
     n = 20
-    np.testing.assert_allclose(np.asarray(st.p_block), aug_inv[:n, :n], atol=1e-9)
-    np.testing.assert_allclose(np.asarray(st.q_block), aug_inv[n:, :n], atol=1e-9)
-    yb = np.concatenate([np.asarray(st.labels), np.asarray(st.labels).conj()])
+    p_block = np.asarray(st.p_re) + 1.0j * np.asarray(st.p_im)
+    q_block = np.asarray(st.q_re) + 1.0j * np.asarray(st.q_im)
+    np.testing.assert_allclose(p_block, aug_inv[:n, :n], atol=1e-9)
+    np.testing.assert_allclose(q_block, aug_inv[n:, :n], atol=1e-9)
+    labels_c = to_c(st.labels)
+    yb = np.concatenate([labels_c, labels_c.conj()])
     sol = aug_inv @ yb
-    np.testing.assert_allclose(np.asarray(st.v), sol[:n], atol=1e-9)
+    np.testing.assert_allclose(to_c(st.v), sol[:n], atol=1e-9)
     # lower half of the solve is conj(upper): consistency of the augmented form
     np.testing.assert_allclose(sol[n:], sol[:n].conj(), atol=1e-9)
 
 
 def test_interpolation_and_variance():
     x, y = make_dataset()
-    st = CK.fit_complex(default_params(), x, y)
+    st = CK.fit_complex(default_params(), x, to_ri(y))
     mean, var, cut = CK.predict_complex(st, x)
     np.testing.assert_allclose(
-        np.asarray(mean), np.asarray(y), atol=1e-2 * float(jnp.max(jnp.abs(y)))
+        to_c(mean), np.asarray(y), atol=1e-2 * float(jnp.max(jnp.abs(y)))
     )
     assert np.all(np.asarray(var) >= -1e-9)
 
@@ -71,13 +84,13 @@ def test_loocv_against_bruteforce():
     system (both its rows) and predicting it back."""
     x, y = make_dataset(16)
     p = default_params()
-    st = CK.fit_complex(p, x, y)
+    st = CK.fit_complex(p, x, to_ri(y))
     err = float(CK.loocv_error_complex(st))
     n = 16
-    k, kt = CK.covariance_matrices(p, x, x, same=True)
+    k, kt_re, kt_im = CK.covariance_matrices(p, x, x, same=True)
     k = np.asarray(k).astype(complex)
-    kt = np.asarray(kt)
-    ys = np.asarray(st.labels)
+    kt = np.asarray(kt_re) + 1.0j * np.asarray(kt_im)
+    ys = to_c(st.labels)
     total = 0.0
     for i in range(n):
         keep = np.arange(n) != i
@@ -104,10 +117,10 @@ def quad_grid(lim=8.0, n=401):
 
 def test_purity_vs_quadrature():
     x, y = make_dataset(24)
-    st = CK.fit_complex(default_params(), x, y)
+    st = CK.fit_complex(default_params(), x, to_ri(y))
     pts, da = quad_grid()
     mean, _, _ = CK.predict_complex(st, pts, with_variance=False)
-    f = np.asarray(mean)
+    f = to_c(mean)
     purity_quad = (2 * np.pi) * (np.abs(f) ** 2).sum() * da  # (2 pi hbar)^Dim
     assert float(CK.purity_complex(st)) == pytest.approx(purity_quad, rel=1e-5)
 
@@ -115,8 +128,10 @@ def test_purity_vs_quadrature():
 def test_loss_gradient_finite():
     x, y = make_dataset(16)
 
+    yri = to_ri(y)
+
     def loss(flat):
-        st = CK.fit_complex(CK.ComplexKernelParams.from_flat(flat), x, y)
+        st = CK.fit_complex(CK.ComplexKernelParams.from_flat(flat), x, yri)
         return CK.loocv_error_complex(st)
 
     flat0 = default_params().to_flat()
@@ -131,5 +146,5 @@ def test_loss_gradient_finite():
 
 def test_optimal_magnitude_positive():
     x, y = make_dataset()
-    st = CK.fit_complex(default_params(), x, y)
+    st = CK.fit_complex(default_params(), x, to_ri(y))
     assert float(CK.optimal_magnitude_complex(st)) > 0

@@ -9,6 +9,7 @@ from gple_tpu.dynamics import evolve as EV
 from gple_tpu.models import tully
 from gple_tpu.sampler import mc
 from gple_tpu.storage import Density
+from gple_tpu.utils import ri
 
 MASS = 2000.0
 R0 = jnp.asarray([-10.0, 30.0])
@@ -16,7 +17,7 @@ SIGMA = jnp.asarray([0.5, 1.0])
 
 
 def ground_state_dist(params, pts):
-    """(3, M, 2) -> (3, M): pure ground-state Gaussian (rho00 only)."""
+    """(3, M, 2) -> (3, M, 2) RI: pure ground-state Gaussian (rho00 only)."""
     r0, sig = params
     rho00 = mc.initial_distribution(r0, sig, pts[0], 0, 0, (1.0, 0.0), (0.0, 0.0))
     zeros = jnp.zeros_like(rho00)
@@ -58,9 +59,12 @@ def test_rotation_preserves_trace_and_purity():
     m = 32
     x = jnp.zeros(m)  # strong coupling region
     p = jnp.full(m, 25.0)
-    r00 = jax.random.uniform(key, (m,)).astype(jnp.complex128)
-    r10 = (jax.random.normal(key, (m,)) + 1.0j * jax.random.normal(jax.random.PRNGKey(1), (m,))) * 0.1
-    r11 = 1.0 - r00
+    r00 = ri.ri(jax.random.uniform(key, (m,)))
+    r10 = 0.1 * jnp.stack(
+        [jax.random.normal(key, (m,)), jax.random.normal(jax.random.PRNGKey(1), (m,))],
+        axis=-1,
+    )
+    r11 = ri.ri(1.0) - r00
     rho3 = jnp.stack([r00, r10, r11])
     out = EV._offdiagonal_rotation("SAC", rho3, x, p, MASS, 0.5, 0.0)
     # trace is invariant under the rotation
@@ -99,7 +103,7 @@ def test_evolve_step_far_from_coupling_transports_density():
         ground_state_dist((R0, SIGMA), density.points)[0]
     )
     got = np.asarray(new.rho[0])
-    np.testing.assert_allclose(got.real, expect.real, rtol=1e-4)
+    np.testing.assert_allclose(got[..., 0], expect[..., 0], rtol=1e-4)
     # off-diagonal / upper elements remain ~0
     assert np.abs(np.asarray(new.rho[1])).max() < 1e-10
     assert np.abs(np.asarray(new.rho[2])).max() < 1e-10
@@ -120,7 +124,7 @@ def test_evolve_step_conserves_total_density_in_coupling_region():
     def dist(params, q):
         # smooth test distribution: equal diagonal, zero coherence
         g = jnp.exp(-0.5 * jnp.sum(((q - params[0]) / params[1]) ** 2, axis=-1))
-        return jnp.stack([g[0], jnp.zeros_like(g[1]), g[2]]).astype(jnp.complex128)
+        return jnp.stack([ri.ri(g[0]), jnp.zeros(g[1].shape + (2,)), ri.ri(g[2])])
 
     center = jnp.asarray([0.0, 25.0])
     width = jnp.asarray([2.0, 3.0])
@@ -129,8 +133,8 @@ def test_evolve_step_conserves_total_density_in_coupling_region():
     new = EV.evolve_step("SAC", MASS, 1.0, density, dist, (center, width))
     assert np.all(np.isfinite(np.asarray(new.rho)))
     # diagonal components remain real to machine precision for real input
-    assert np.abs(np.imag(np.asarray(new.rho[0]))).max() < 1e-12
-    assert np.abs(np.imag(np.asarray(new.rho[2]))).max() < 1e-12
+    assert np.abs(np.asarray(new.rho[0][..., 1])).max() < 1e-12
+    assert np.abs(np.asarray(new.rho[2][..., 1])).max() < 1e-12
 
 
 def test_predict_new_points_and_is_very_small():
@@ -140,7 +144,7 @@ def test_predict_new_points_and_is_very_small():
         "SAC", MASS, 1.0, density.points[1], 1, ground_state_dist, (R0, SIGMA)
     )
     # far from coupling, a fresh off-diagonal element stays negligible
-    assert np.abs(np.asarray(pred)).max() < 1e-6
+    assert np.asarray(ri.absval(pred)).max() < 1e-6
     small = EV.is_very_small("SAC", MASS, 1.0, density, ground_state_dist, (R0, SIGMA))
     s = np.asarray(small)
     assert not s[0]           # active element never small

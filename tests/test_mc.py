@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from gple_tpu.sampler import mc
+from gple_tpu.utils import ri
 
 
 R0 = jnp.asarray([-10.0, 30.0])
@@ -21,16 +22,16 @@ def gauss_dist(params, pts):
 
 def test_initial_distribution_values():
     pts = R0[None, :]
-    v = complex(np.asarray(gauss_dist((R0, SIGMA), pts))[0])
+    v = np.asarray(gauss_dist((R0, SIGMA), pts))[0]  # RI (2,)
     expect = 1.0 / (2 * math.pi * float(SIGMA[0]) * float(SIGMA[1]))
-    assert v.real == pytest.approx(expect, rel=1e-12)
-    assert v.imag == 0.0
+    assert v[0] == pytest.approx(expect, rel=1e-12)
+    assert v[1] == 0.0
     # off-diagonal of a pure ground state is zero
     z = mc.initial_distribution(R0, SIGMA, pts, 1, 0, (1.0, 0.0), (0.0, 0.0))
-    assert complex(np.asarray(z)[0]) == 0.0
+    assert np.all(np.asarray(z)[0] == 0.0)
     # phase factors produce a complex phase
     z2 = mc.initial_distribution(R0, SIGMA, pts, 1, 0, (1.0, 1.0), (0.5, 0.0))
-    assert abs(complex(np.asarray(z2)[0]).imag) > 0
+    assert abs(np.asarray(z2)[0, 1]) > 0
 
 
 def test_markov_chain_samples_target_moments():
@@ -76,7 +77,7 @@ def test_extra_points_jitter():
         jax.random.PRNGKey(5), pts, 5 * n, gauss_dist, (R0, SIGMA)
     )
     assert new_pts.shape == (5 * n, 2)
-    assert new_rho.shape == (5 * n,)
+    assert new_rho.shape == (5 * n, 2)
     # jittered cloud stays centered on r0 but is wider
     norm_err = np.abs(np.asarray(new_pts).mean(axis=0) - np.asarray(R0)) / np.asarray(SIGMA)
     assert np.all(norm_err < 1.0), norm_err
@@ -94,7 +95,7 @@ def test_seed_new_element_picks_high_density():
     )
     assert pts.shape == (32, 2)
     # all selected points carry non-negligible density
-    assert np.all(np.abs(np.asarray(rho)) > 0)
+    assert np.all(np.asarray(ri.absval(rho)) > 0)
     assert np.all(np.abs(np.asarray(pts)[:, 0] - float(R0[0])) < 5)
 
 

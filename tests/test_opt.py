@@ -36,7 +36,7 @@ def sampled_density(n=64, seed=0):
         pts0, mc.MCParameters(), tune=True,
     )
     points = jnp.stack([pts, pts, pts])
-    rho_all = jnp.stack([rho, jnp.zeros_like(rho), jnp.zeros_like(rho)])
+    rho_all = jnp.stack([rho, jnp.zeros_like(rho), jnp.zeros_like(rho)])  # RI
     density = Density(points=points, rho=rho_all,
                       active=jnp.asarray([True, False, False]))
     ek, _ = jax.random.split(key)
@@ -91,8 +91,8 @@ def test_fit_quality(opt_run):
     state0 = jax.tree.map(lambda a: a[0], states.diag)
     mean, _, _ = RK.predict_real(state0, density.points[0])
     np.testing.assert_allclose(
-        np.asarray(mean), np.real(np.asarray(density.rho[0])),
-        atol=2e-3 * float(jnp.max(jnp.real(density.rho[0]))),
+        np.asarray(mean), np.asarray(density.rho[0][:, 0]),
+        atol=2e-3 * float(jnp.max(density.rho[0][:, 0])),
     )
 
 

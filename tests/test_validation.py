@@ -1,0 +1,82 @@
+"""Tests of the GPR validation harness against the DVR oracle
+(reference test/main_screenshot.cpp + main_evolve.cpp capabilities)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gple_tpu import validation as V
+from gple_tpu.oracles.schrodinger import DVRConfig, DVRSolver
+from gple_tpu.ops import kernels as RK
+
+
+@pytest.fixture(scope="module")
+def dvr_frames():
+    cfg = DVRConfig(
+        model="SAC", boundary="reflective", mass=2000.0, x0=-4.0, p0=20.0,
+        sigma_p=1.0, xmin=-6.0, xmax=6.0, dx_input=1.0, output_time=250.0,
+        dt_input=1.0,
+    )
+    res = DVRSolver(cfg).run(store_wigner=True, max_outputs=3)
+    return cfg, res
+
+
+def test_nll_decreases_with_fit_quality():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 2)))
+    y = jnp.asarray(np.exp(-0.5 * np.sum(np.asarray(x) ** 2, axis=1)))
+    good = RK.fit_real(
+        RK.KernelParams(jnp.asarray(1.0), jnp.asarray([1.0, 1.0]), jnp.asarray(0.01)), x, y
+    )
+    bad = RK.fit_real(
+        RK.KernelParams(jnp.asarray(1.0), jnp.asarray([0.05, 0.05]), jnp.asarray(0.01)), x, y
+    )
+    assert float(V.nll_loss(good)) < float(V.nll_loss(bad))
+
+
+def test_screenshot_fit_quality(dvr_frames):
+    """T2 parity: fit one exact Wigner snapshot; the GP must reproduce the
+    grid to small relative MSE and the analytic population must match the
+    grid population."""
+    cfg, res = dvr_frames
+    w = res.wigners[1][0, 0].real  # ground-surface frame after some evolution
+    gx, gp = np.meshgrid(cfg.x_grid, cfg.p_grid, indexing="ij")
+    coords = np.stack([gx.ravel(), gp.ravel()], axis=-1)
+    da = cfg.dx * (cfg.p_grid[1] - cfg.p_grid[0])
+    fit = V.screenshot_fit(jax.random.PRNGKey(0), coords, w.ravel(), da)
+    rel_rmse = np.sqrt(fit.mse) / np.abs(w).max()
+    assert rel_rmse < 5e-3
+    assert fit.population_prm == pytest.approx(fit.population_grid, rel=0.02)
+    assert np.isfinite(fit.nll)
+
+
+def test_conservation_rescale_exact_two_surfaces():
+    pops = [0.55, 0.38]
+    energies = [0.2, 0.3]
+    scale = V.conservation_rescale(pops, energies, 1.0, 0.25)
+    new_pop = np.dot(scale, pops)
+    new_e = np.dot(scale, np.asarray(pops) * np.asarray(energies))
+    assert new_pop == pytest.approx(1.0, rel=1e-10)
+    assert new_e == pytest.approx(0.25, rel=1e-10)
+
+
+def test_evolve_fit_tracks_trajectory(dvr_frames):
+    """T4 parity: warm-started fits across frames conserve the rescaled
+    population/energy and track the exact grid values."""
+    cfg, res = dvr_frames
+    frames = res.wigners[:, [0, 1], [0, 1]].real  # (T, 2, Nx, Np) diagonal
+    out = V.evolve_fit(
+        jax.random.PRNGKey(1), res.times, frames, cfg.x_grid, cfg.p_grid,
+        "SAC", cfg.mass, n_points=150,
+    )
+    assert len(out) == len(res.times)
+    for fr in out:
+        # analytic integrals track the grid: tight in absolute terms for the
+        # dominant surface, 15% relative for weakly-populated ones (the
+        # reference's evolve test logs these drifts rather than bounding them)
+        err = np.abs(fr.population_prm - fr.population_grid)
+        tol = np.maximum(0.02, 0.15 * fr.population_grid)
+        assert np.all(err < tol), (fr.population_prm, fr.population_grid)
+        assert fr.population_rescaled.sum() == pytest.approx(1.0, rel=1e-8)
+        assert fr.mse < 1e-5
