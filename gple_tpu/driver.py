@@ -110,7 +110,8 @@ class TickRecord:
 
 
 class GPLEDriver:
-    def __init__(self, cfg: GPLEConfig, outdir: Optional[str] = None, verbose: bool = False):
+    def __init__(self, cfg: GPLEConfig, outdir: Optional[str] = None, verbose: bool = False,
+                 profile_dir: Optional[str] = None):
         self.cfg = cfg
         self.verbose = verbose
         self.writers = OutputWriters(outdir) if outdir else None
@@ -118,6 +119,11 @@ class GPLEDriver:
         self.mc_params = [mc.MCParameters() for _ in range(NUM_ELEMENTS)]
         self.history: List[TickRecord] = []
         self._grid = jnp.asarray(cfg.phase_grids()) if outdir else None
+        #: jax.profiler trace directory (the reference only has wall-clock
+        #: deltas in run.log, SURVEY.md section 5; this is the real profiler)
+        self.profile_dir = profile_dir
+        #: cumulative per-phase wall times (evolve / refit / optimize / output)
+        self.phase_times = {"evolve": 0.0, "refit": 0.0, "optimize": 0.0, "output": 0.0}
         # per-driver new-point distribution functions (stable identities)
         self._new_pt_dists = tuple(
             partial(self._new_point_dist, elem=k) for k in range(NUM_ELEMENTS)
@@ -210,8 +216,11 @@ class GPLEDriver:
 
     # -- one tick (main.cpp:135-202) ------------------------------------------------
     def step(self, tick: int) -> str:
+        import time as _time
+
         cfg = self.cfg
         gps = self.gps
+        t0 = _time.perf_counter()
         density = EV.evolve_step(
             cfg.model, cfg.mass, cfg.dt, self.density, gp_dist_all, gps
         )
@@ -221,6 +230,7 @@ class GPLEDriver:
         small = np.asarray(
             EV.is_very_small(cfg.model, cfg.mass, cfg.dt, density, gp_dist_all, gps)
         )
+        self.phase_times["evolve"] += _time.perf_counter() - t0
         old_active = np.asarray(density.active)
         new_active = ~small
         opt_type = "none"
@@ -230,21 +240,25 @@ class GPLEDriver:
         needs_opt = changed or (tick % cfg.reopt_freq == 0)
         if not needs_opt:
             # drift check with the refitted states (main.cpp:174-189)
+            t0 = _time.perf_counter()
             self.density, self.extra = density, extra
             self.gps = self._refit(density)
             pop = float(self.gps.population())
             pur = float(self.gps.purity())
+            self.phase_times["refit"] += _time.perf_counter() - t0
             tol = 2.0 * AVERAGE_TOLERANCE
             if pur > (1.0 + tol) * self.purity or not (1.0 - tol < pop < 1.0 + tol):
                 needs_opt = True
                 opt_type = "drift"
         if needs_opt:
+            t0 = _time.perf_counter()
             self.density, self.extra = density, extra
             energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
             self.opt_result = self.optimizer.optimize(density, extra, energies)
             self.gps = self._refit(density)
             self.extra = self._make_extra(density, GP_DIST_ELEMS, self.gps)
             opt_type = self.opt_result.opt_type if opt_type == "none" else opt_type
+            self.phase_times["optimize"] += _time.perf_counter() - t0
         return opt_type
 
     def _element_change(self, density, extra, old_active, new_active):
@@ -374,6 +388,8 @@ class GPLEDriver:
         from gple_tpu.io import checkpoint as ckpt
 
         cfg = self.cfg
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
         if resume_from:
             start_tick = ckpt.load_checkpoint(resume_from, self) + 1
             self._log(f"resumed from {resume_from} at tick {start_tick}")
@@ -382,17 +398,26 @@ class GPLEDriver:
             self.observe(0, self.opt_result.opt_type)
             start_tick = 1
         total = cfg.total_ticks if max_ticks is None else min(cfg.total_ticks, max_ticks)
-        for tick in range(start_tick, total + 1):
-            opt_type = self.step(tick)
-            if checkpoint_path and checkpoint_every and tick % checkpoint_every == 0:
-                ckpt.save_checkpoint(checkpoint_path, self, tick)
-            if tick % cfg.output_freq == 0:
-                rec = self.observe(tick, opt_type)
-                if callback is not None:
-                    callback(rec)
-                if rec.x_average > -cfg.x0:
-                    self._log("wavepacket has left the interaction region")
-                    break
+        try:
+            for tick in range(start_tick, total + 1):
+                opt_type = self.step(tick)
+                if checkpoint_path and checkpoint_every and tick % checkpoint_every == 0:
+                    ckpt.save_checkpoint(checkpoint_path, self, tick)
+                if tick % cfg.output_freq == 0:
+                    import time as _time
+
+                    t0 = _time.perf_counter()
+                    rec = self.observe(tick, opt_type)
+                    self.phase_times["output"] += _time.perf_counter() - t0
+                    if callback is not None:
+                        callback(rec)
+                    if rec.x_average > -cfg.x0:
+                        self._log("wavepacket has left the interaction region")
+                        break
+        finally:
+            if self.profile_dir:
+                jax.profiler.stop_trace()
+        self._log(f"phase wall times: {self.phase_times}")
         if self.writers:
             self.writers.close()
         return self.history

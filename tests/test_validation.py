@@ -80,3 +80,22 @@ def test_evolve_fit_tracks_trajectory(dvr_frames):
         assert np.all(err < tol), (fr.population_prm, fr.population_grid)
         assert fr.population_rescaled.sum() == pytest.approx(1.0, rel=1e-8)
         assert fr.mse < 1e-5
+
+
+def test_input_generator(tmp_path):
+    """S6 parity: build a reference-format input file from ln(E)."""
+    from gple_tpu.config import GPLEConfig
+    from gple_tpu.io.input_gen import cutoff_125, generate_input
+
+    assert cutoff_125(0.11) == pytest.approx(0.2)
+    assert cutoff_125(8.2) == pytest.approx(10.0)
+    assert cutoff_125(3626) == pytest.approx(5000.0)
+    path = str(tmp_path / "input")
+    fields = generate_input(-3.0, path=path, mass=2000.0, x0=-8.0)
+    import math
+
+    assert fields["p0"] == pytest.approx(math.sqrt(2 * 2000.0 * math.exp(-3.0)))
+    assert fields["sigma_p0"] == pytest.approx(fields["p0"] / 20.0)
+    cfg = GPLEConfig.from_input_file(path)
+    assert cfg.mass == 2000.0 and cfg.x0 == -8.0
+    assert cfg.p0 == pytest.approx(fields["p0"])
