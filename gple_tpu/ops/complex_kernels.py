@@ -128,15 +128,16 @@ class ComplexTrainState(NamedTuple):
 def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainState:
     """Factorize the augmented training system (TrainingComplexKernel ctor,
     complex_kernel.cpp:221-268).  ``labels`` is (N, 2) RI."""
+    from gple_tpu.ops.linalg import psd_inverse
+
     labels = jnp.asarray(labels)
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-300)
     y = labels * rescale
     k, kt_re, kt_im = covariance_matrices(params, features, features, same=True)
-    chol = jnp.linalg.cholesky(k)
-    solve = lambda r: jax.scipy.linalg.cho_solve((chol, True), r)
+    kinv = psd_inverse(k)
     # T = K^-1 conj(Kt)
-    t_re = solve(kt_re)
-    t_im = solve(-kt_im)
+    t_re = kinv @ kt_re
+    t_im = -(kinv @ kt_im)
     # Schur = K - Kt T (Hermitian)
     s_re = k - (kt_re @ t_re - kt_im @ t_im)
     s_im = -(kt_re @ t_im + kt_im @ t_re)
@@ -145,10 +146,8 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
     # P = Schur^-1 via the real symmetric 2N x 2N embedding
     n = k.shape[0]
     m = jnp.block([[s_re, -s_im], [s_im, s_re]])
-    chol_m = jnp.linalg.cholesky(m)
-    rhs = jnp.concatenate([jnp.eye(n, dtype=k.dtype), jnp.zeros((n, n), dtype=k.dtype)])
-    x = jax.scipy.linalg.cho_solve((chol_m, True), rhs)
-    p_re, p_im = x[:n], x[n:]
+    m_inv = psd_inverse(m)
+    p_re, p_im = m_inv[:n, :n], m_inv[n:, :n]
     p_re = 0.5 * (p_re + p_re.T)
     p_im = 0.5 * (p_im - p_im.T)
     # Q = -T P

@@ -15,10 +15,11 @@ Design notes:
 
 * Points sit on ROWS: features are ``(N, PhaseDim)`` so the Gram construction
   and predictive products are plain matmuls on the MXU.
-* The predictive variance uses one triangular solve against the cached
-  Cholesky factor instead of materializing K^-1 (the reference builds the full
-  inverse every rebuild, ``kernel.cpp:282``); K^-1's diagonal is only formed
-  inside the LOOCV loss.
+* The training state caches the full K^-1 (like the reference,
+  kernel.cpp:282), computed by :func:`gple_tpu.ops.linalg.psd_inverse`
+  (Newton-Schulz pure-matmul iteration on TPU, Cholesky on CPU), so both the
+  LOOCV loss and the predictive variance are matmul chains with no
+  triangular solves in the hot path.
 * **All hand-derived gradients of the reference (kernel.cpp:337-477) are
   deleted**: every quantity here is a smooth jnp function of the parameters,
   so ``jax.grad`` supplies exact derivatives for the optimizer.
@@ -85,13 +86,19 @@ def kernel_matrix(params: KernelParams, xa, xb, same: bool):
 
 
 class RealTrainState(NamedTuple):
-    """Everything cached from one training-set factorization."""
+    """Everything cached from one training-set factorization.
+
+    Caching the full K^-1 (like the reference, kernel.cpp:282) makes the
+    predict-time variance a pure matmul chain -- triangular solves are
+    sequential and slow on the TPU, matmuls ride the MXU.  The inverse itself
+    comes from :func:`gple_tpu.ops.linalg.psd_inverse` (Newton-Schulz on TPU,
+    Cholesky on CPU)."""
 
     params: KernelParams
     features: jnp.ndarray        # (N, PhaseDim)
     labels: jnp.ndarray          # (N,) rescaled real labels
     rescale: jnp.ndarray         # scalar: labels = raw * rescale
-    chol: jnp.ndarray            # (N, N) lower Cholesky of K
+    kinv: jnp.ndarray            # (N, N) K^-1
     alpha: jnp.ndarray           # (N,) K^-1 labels (rescaled)
 
 
@@ -101,24 +108,23 @@ def fit_real(params: KernelParams, features, labels_raw) -> RealTrainState:
     ``labels_raw`` may be complex; only the real part carries information for
     diagonal elements (kernel.cpp:279-283).
     """
+    from gple_tpu.ops.linalg import psd_inverse
+
     labels_real = jnp.real(labels_raw)
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-300)
     y = labels_real * rescale
     k = kernel_matrix(params, features, features, same=True)
-    chol = jnp.linalg.cholesky(k)
-    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+    kinv = psd_inverse(k)
+    alpha = kinv @ y
     return RealTrainState(
-        params=params, features=features, labels=y, rescale=rescale, chol=chol, alpha=alpha
+        params=params, features=features, labels=y, rescale=rescale,
+        kinv=kinv, alpha=alpha,
     )
 
 
 def kinv_diagonal(state: RealTrainState) -> jnp.ndarray:
-    """diag(K^-1) from the Cholesky factor: rows of L^-1, squared and summed."""
-    n = state.chol.shape[0]
-    linv = jax.scipy.linalg.solve_triangular(
-        state.chol, jnp.eye(n, dtype=state.chol.dtype), lower=True
-    )
-    return jnp.sum(linv * linv, axis=0)
+    """diag(K^-1) from the cached inverse (kernel.cpp:282-285)."""
+    return jnp.diagonal(state.kinv)
 
 
 def loocv_error(state: RealTrainState) -> jnp.ndarray:
@@ -137,10 +143,9 @@ def predict_real(state: RealTrainState, test_features, with_variance: bool = Tru
     mean_scaled = k_star @ state.alpha
     if not with_variance:
         return mean_scaled / state.rescale, None, mean_scaled / state.rescale
-    # var_i = k(x_i, x_i) - || L^-1 k_star_i ||^2
-    z = jax.scipy.linalg.solve_triangular(state.chol, k_star.T, lower=True)
+    # var_i = k(x_i, x_i) - k_star_i K^-1 k_star_i^T : two MXU matmuls
     self_k = state.params.magnitude**2 * (1.0 + state.params.noise**2)
-    var = self_k - jnp.sum(z * z, axis=0)
+    var = self_k - jnp.sum((k_star @ state.kinv) * k_star, axis=-1)
     cut = cutoff_factor(mean_scaled, var)
     return mean_scaled / state.rescale, var, mean_scaled * cut / state.rescale
 
