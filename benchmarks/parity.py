@@ -1,0 +1,87 @@
+"""Physics parity: GPR-MQCLE populations vs the exact DVR solution.
+
+The BASELINE.json north-star: on Tully model A, the full GPR-MQCLE trajectory
+must reproduce the exact (DVR) populations to RMSE < 1e-3 on one chip in
+under 5 minutes.  This script runs both solvers on a matching configuration
+and reports the RMSE and wall times as one JSON line.
+
+Usage:
+    python benchmarks/parity.py [--model SAC] [--p0 P0] [--x0 X0] [-n N]
+                                [--dt DT] [--platform cpu]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="SAC")
+    ap.add_argument("--p0", type=float, default=20.0)
+    ap.add_argument("--x0", type=float, default=-4.0)
+    ap.add_argument("--sigma-p", type=float, default=1.0)
+    ap.add_argument("-n", type=int, default=128, help="GPLE points per element")
+    ap.add_argument("--dt", type=float, default=1.0)
+    ap.add_argument("--reopt-time", type=float, default=5.0)
+    ap.add_argument("--output-time", type=float, default=10.0)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--max-ticks", type=int, default=None)
+    opts = ap.parse_args()
+
+    import jax
+
+    if opts.platform:
+        jax.config.update("jax_platforms", opts.platform)
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from gple_tpu.config import GPLEConfig
+    from gple_tpu.driver import GPLEDriver
+    from gple_tpu.oracles.schrodinger import DVRConfig, DVRSolver
+
+    cfg = GPLEConfig(
+        model=opts.model, mass=2000.0, x0=opts.x0, p0=opts.p0,
+        sigma_p0=opts.sigma_p, output_time=opts.output_time,
+        reopt_time=opts.reopt_time, dt=opts.dt, num_points=opts.n,
+    )
+    # exact oracle on the same physics, interaction region +-2|x0|
+    se_cfg = DVRConfig(
+        model=opts.model, boundary="reflective", mass=cfg.mass, x0=cfg.x0,
+        p0=cfg.p0, sigma_p=cfg.sigma_p0, xmin=cfg.xmin, xmax=cfg.xmax,
+        dx_input=1.0, output_time=cfg.output_time, dt_input=cfg.dt,
+    )
+    t0 = time.time()
+    se = DVRSolver(se_cfg).run(store_wigner=False)
+    t_se = time.time() - t0
+    print(f"# DVR: {len(se.times)} frames in {t_se:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    drv = GPLEDriver(cfg, verbose=True)
+    hist = drv.run(max_ticks=opts.max_ticks)
+    t_gple = time.time() - t0
+
+    # align by time and compare ground-state populations
+    gple_t = np.array([r.time for r in hist])
+    gple_p0 = np.array([r.population_mci[0] for r in hist])
+    se_p0 = np.interp(gple_t, se.times, se.populations[:, 0])
+    n_cmp = min(len(gple_t), int(np.searchsorted(gple_t, se.times[-1]) + 1))
+    rmse = float(np.sqrt(np.mean((gple_p0[:n_cmp] - se_p0[:n_cmp]) ** 2)))
+    print(
+        json.dumps(
+            {
+                "metric": f"Tully-{opts.model} population RMSE vs DVR",
+                "value": round(rmse, 6),
+                "unit": "population",
+                "gple_wall_s": round(t_gple, 1),
+                "dvr_wall_s": round(t_se, 1),
+                "frames_compared": int(n_cmp),
+                "target": 1e-3,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

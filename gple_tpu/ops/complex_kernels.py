@@ -152,10 +152,18 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
     p_im = 0.5 * (p_im - p_im.T)
     # Q = -T P
     q_re, q_im = ri.matmul(-t_re, -t_im, p_re, p_im)
-    # v = P y + conj(Q y)
-    py = ri.matvec(p_re, p_im, y)
-    qy = ri.matvec(q_re, q_im, y)
-    v = py + ri.conj(qy)
+
+    # v = P y + conj(Q y), with f64 iterative refinement against the
+    # augmented system [[K, Kt], [Kt*, K*]] [v; v*] = [y; y*]
+    def apply_augmented_inverse(w):
+        return ri.matvec(p_re, p_im, w) + ri.conj(ri.matvec(q_re, q_im, w))
+
+    def apply_augmented(vv):
+        return ri.rmatvec(k, vv) + ri.matvec(kt_re, kt_im, ri.conj(vv))
+
+    v = apply_augmented_inverse(y)
+    for _ in range(2):
+        v = v + apply_augmented_inverse(y - apply_augmented(v))
     return ComplexTrainState(
         params=params, features=features, labels=y, rescale=rescale,
         p_re=p_re, p_im=p_im, q_re=q_re, q_im=q_im, v=v,

@@ -108,14 +108,14 @@ def fit_real(params: KernelParams, features, labels_raw) -> RealTrainState:
     ``labels_raw`` may be complex; only the real part carries information for
     diagonal elements (kernel.cpp:279-283).
     """
-    from gple_tpu.ops.linalg import psd_inverse
+    from gple_tpu.ops.linalg import psd_inverse, refine_solve
 
     labels_real = jnp.real(labels_raw)
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-300)
     y = labels_real * rescale
     k = kernel_matrix(params, features, features, same=True)
     kinv = psd_inverse(k)
-    alpha = kinv @ y
+    alpha = refine_solve(kinv, k, y)
     return RealTrainState(
         params=params, features=features, labels=y, rescale=rescale,
         kinv=kinv, alpha=alpha,
