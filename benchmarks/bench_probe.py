@@ -11,9 +11,19 @@ def log(msg):
     print(f"[{time.time() - t0:8.1f}s] {msg}", flush=True)
 
 
+import os  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 sys.path.insert(0, "/root/repo")
 
 import __graft_entry__ as g  # noqa: E402
