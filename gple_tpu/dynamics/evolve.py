@@ -209,6 +209,37 @@ def backward_predict(
     return result
 
 
+#: per-element diagonal-force weights: F_ii + F_jj = sum_d W[e, d] F_dd
+_FORCE_WEIGHTS = jnp.asarray([[2.0, 0.0], [1.0, 1.0], [0.0, 2.0]])
+#: per-element energy-gap weights: E_i - E_j = sum_d G[e, d] E_d
+_GAP_WEIGHTS = jnp.asarray([[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]])
+
+
+def _diag_forces(model: str, x):
+    f = tully.adiabatic_force(model, x)
+    return jnp.stack([f[..., 0, 0], f[..., 1, 1]], axis=-1)
+
+
+def _weighted_leapfrog(model: str, x, p, mass, dt, drc: int):
+    """All-sources leapfrog: x, p are (3, ...) with per-source force weights."""
+    s = float(drc)
+    x = x + s * dt / 2.0 * p / mass
+    fsum = jnp.einsum("sd,s...d->s...", _FORCE_WEIGHTS, _diag_forces(model, x))
+    p = p + s * dt / 2.0 * fsum
+    x = x + s * dt / 2.0 * p / mass
+    return x, p
+
+
+def _omega0_all(model: str, xa, xb):
+    """Per-source omega0 (3, ...): nonzero only for the off-diagonal element."""
+    ea = tully.adiabatic_potential(model, xa)
+    eb = tully.adiabatic_potential(model, xb)
+    return (
+        jnp.einsum("sd,s...d->s...", _GAP_WEIGHTS, ea)
+        + jnp.einsum("sd,s...d->s...", _GAP_WEIGHTS, eb)
+    ) / (2.0 * HBAR)
+
+
 @partial(jax.jit, static_argnums=(0, 4, 6))
 def evolve_step(
     model: str,
@@ -225,30 +256,111 @@ def evolve_step(
     Uncoupled points: one full leapfrog, density = old distribution at the old
     coordinate times the adiabatic phase.  Both are computed and blended by
     the per-point coupling mask.
+
+    All three source elements evolve in ONE vectorized computation (per-source
+    force/gap index arithmetic via the weight tables above), and all their
+    backward-branch queries plus the adiabatic old-coordinate queries collapse
+    into a SINGLE batched GP prediction of 10N points per target element --
+    one-third the XLA graph and triple the matmul batch of the per-source
+    formulation.
     """
-    new_points = []
-    new_rho = []
-    # adiabatic-path distribution queries at the OLD coordinates, all elements
-    rho_at_old = dist_fn(dist_params, density.points)  # (3, N, 2)
-    for k, (i, j) in enumerate(ELEMENTS):
-        r = density.points[k]
-        x0, p0 = r[:, 0], r[:, 1]
-        couple = is_coupling(model, x0, p0, mass, dt, criterion)
-        # non-adiabatic: two half-step leapfrogs then backward prediction
-        xa, pa = adiabatic_leapfrog(model, x0, p0, mass, dt / 2.0, +1, i, j)
-        xb, pb = adiabatic_leapfrog(model, xa, pa, mass, dt / 2.0, +1, i, j)
-        r_na = jnp.stack([xb, pb], axis=-1)
-        rho_na = backward_predict(
-            model, mass, dt, r_na, density.rho[k], k, dist_fn, dist_params, criterion
-        )
-        # adiabatic: one full leapfrog, phase-rotated old density
-        xc, pc = adiabatic_leapfrog(model, x0, p0, mass, dt, +1, i, j)
-        r_ad = jnp.stack([xc, pc], axis=-1)
-        rho_ad = ri.phase_mul(rho_at_old[k], -omega0(model, x0, xc, i, j) * dt)
-        new_points.append(jnp.where(couple[:, None], r_na, r_ad))
-        new_rho.append(jnp.where(couple[:, None], rho_na, rho_ad))
+    n = density.num_points
+    x0, p0 = density.points[..., 0], density.points[..., 1]          # (3, N)
+    couple = is_coupling(model, x0, p0, mass, dt, criterion)          # (3, N)
+
+    # forward: two half-step leapfrogs (coupled path) and one full (adiabatic)
+    xa, pa = _weighted_leapfrog(model, x0, p0, mass, dt / 2.0, +1)
+    xb, pb = _weighted_leapfrog(model, xa, pa, mass, dt / 2.0, +1)
+    xc, pc = _weighted_leapfrog(model, x0, p0, mass, dt, +1)
+
+    # backward half-step from the moved coordinates: (xb, pb) -> (x2, p1)
+    couple0 = is_coupling(model, xb, pb, mass, dt, criterion)
+    x2, p1 = _weighted_leapfrog(model, xb, pb, mass, dt / 2.0, -1)
+    f01 = tully.adiabatic_force(model, x2)[..., 0, 1] * couple0       # (3, N)
+    p2 = p1[..., None] - dt * BRANCHES * f01[..., None]               # (3, N, 3)
+    x3 = x2[..., None] - dt / 4.0 * p2 / mass                         # (3, N, 3)
+    fd3 = _diag_forces(model, x3)                                     # (3, N, 3, 2)
+    # diagonal-force split towards each target element
+    p3 = p2[:, None] - dt / 4.0 * jnp.einsum("td,snbd->stnb", _FORCE_WEIGHTS, fd3)
+    x4 = x3[:, None] - dt / 4.0 * p3 / mass                           # (3s, 3t, N, 3b)
+
+    # ONE GP query per target element: branch points of every source + the
+    # old coordinates (for the adiabatic path of that element)
+    x4_t = jnp.swapaxes(x4, 0, 1)                                     # (3t, 3s, N, 3b)
+    p3_t = jnp.swapaxes(p3, 0, 1)
+    branch_q = jnp.stack([x4_t, p3_t], axis=-1).reshape(NUM_ELEMENTS, -1, 2)
+    query = jnp.concatenate([branch_q, density.points], axis=1)      # (3, 9N + N, 2)
+    rho_all = dist_fn(dist_params, query)                             # (3, 10N, 2)
+    rho_pred = rho_all[:, : 9 * n].reshape(NUM_ELEMENTS, NUM_ELEMENTS, n, 3, 2)
+    rho_at_old = rho_all[:, 9 * n :]                                  # (3, N, 2)
+
+    # the exact element keeps its known density on its own static branch
+    for s in range(NUM_ELEMENTS):
+        rho_pred = rho_pred.at[s, s, :, 1, :].set(density.rho[s])
+
+    # adiabatic phase on the off-diagonal target component from (x4 -> x2)
+    theta = omega0(model, x2[:, :, None], x4[:, OFFDIAG_INDEX], 0, 1) * dt / 2.0
+    rho_pred = rho_pred.at[OFFDIAG_INDEX].set(
+        ri.phase_mul(rho_pred[OFFDIAG_INDEX], theta)
+    )
+
+    # per-branch off-diagonal rotation at (x2, p2[n]) over dt/2
+    rotated = jnp.stack(
+        [
+            _offdiagonal_rotation(
+                model, rho_pred[:, :, :, b], x2, p2[:, :, b], mass, dt / 2.0, criterion
+            )
+            for b in range(3)
+        ],
+        axis=3,
+    )                                                                 # (3t, 3s, N, 3b, 2)
+
+    # branch recombination (evolve.cpp:320-348)
+    r0m, r1m, r2m = rotated[0, :, :, 0], rotated[1, :, :, 0], rotated[2, :, :, 0]
+    r0z, r1z, r2z = rotated[0, :, :, 1], rotated[1, :, :, 1], rotated[2, :, :, 1]
+    r0p, r1p, r2p = rotated[0, :, :, 2], rotated[1, :, :, 2], rotated[2, :, :, 2]
+    v_minus = jnp.stack(
+        [
+            (r0m[..., 0] + 2.0 * r1m[..., 0] + r2m[..., 0]) / 4.0,
+            (r0m[..., 1] + r2m[..., 1]) / 4.0,
+        ],
+        axis=-1,
+    )
+    v_zero = (r0z - r2z) / 2.0
+    v_plus = jnp.stack(
+        [
+            (r0p[..., 0] - 2.0 * r1p[..., 0] + r2p[..., 0]) / 4.0,
+            (r0p[..., 1] + r2p[..., 1]) / 4.0,
+        ],
+        axis=-1,
+    )
+    mid = v_minus - v_plus
+    mid = mid.at[..., 1].add(r1z[..., 1])
+    combined = jnp.stack([v_minus + v_zero + v_plus, mid, v_minus - v_zero + v_plus])
+
+    # second off-diagonal rotation at (x2, p1) over dt/2
+    combined = _offdiagonal_rotation(model, combined, x2, p1, mass, dt / 2.0, criterion)
+
+    # each source takes its own target component; the off-diagonal source gets
+    # the final phase omega0(x0, x2; i=0, j=1) = (E0 - E1) = -(gap weights)
+    rho_na = jnp.stack([combined[s, s] for s in range(NUM_ELEMENTS)])
+    final_theta = -_omega0_all(model, xb, x2) * dt / 2.0
+    rho_na = ri.phase_mul(rho_na, final_theta)
+
+    # adiabatic path: phase-rotated old density at the full-leapfrog coordinate
+    theta_ad = (
+        jnp.einsum("sd,snd->sn", _GAP_WEIGHTS, tully.adiabatic_potential(model, x0))
+        + jnp.einsum("sd,snd->sn", _GAP_WEIGHTS, tully.adiabatic_potential(model, xc))
+    ) / (2.0 * HBAR)
+    rho_ad = ri.phase_mul(rho_at_old, -theta_ad * dt)
+
+    r_na = jnp.stack([xb, pb], axis=-1)
+    r_ad = jnp.stack([xc, pc], axis=-1)
+    mask = couple[..., None]
     return Density(
-        points=jnp.stack(new_points), rho=jnp.stack(new_rho), active=density.active
+        points=jnp.where(mask, r_na, r_ad),
+        rho=jnp.where(mask, rho_na, rho_ad),
+        active=density.active,
     )
 
 

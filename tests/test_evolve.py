@@ -149,3 +149,45 @@ def test_predict_new_points_and_is_very_small():
     s = np.asarray(small)
     assert not s[0]           # active element never small
     assert s[1] and s[2]      # inactive elements with no density stay small
+
+
+def test_fused_evolve_matches_per_source_composition():
+    """evolve_step's fused all-source computation must equal composing the
+    public per-source pieces (leapfrogs + backward_predict) element by
+    element."""
+    key = jax.random.PRNGKey(7)
+    n = 24
+    pts0 = jnp.stack([
+        jax.random.normal(key, (n,)) * 0.8,
+        22.0 + jax.random.normal(jax.random.PRNGKey(8), (n,)) * 2.0,
+    ], axis=-1)
+    pts = jnp.stack([pts0, pts0 + 0.1, pts0 - 0.1])
+
+    def dist(params, q):
+        g = jnp.exp(-0.5 * jnp.sum(((q - params[0]) / params[1]) ** 2, axis=-1))
+        off = 0.1 * jnp.stack([g[1], 0.5 * g[1]], axis=-1)
+        return jnp.stack([ri.ri(g[0]), off, ri.ri(0.5 * g[2])])
+
+    center = jnp.asarray([0.0, 22.0])
+    width = jnp.asarray([2.0, 3.0])
+    rho = dist((center, width), pts)
+    density = Density(points=pts, rho=rho, active=jnp.asarray([True, True, True]))
+    dt = 1.0
+    fused = EV.evolve_step("SAC", 2000.0, dt, density, dist, (center, width))
+
+    for k, (i, j) in enumerate(EV.ELEMENTS):
+        x0, p0 = pts[k][:, 0], pts[k][:, 1]
+        xa, pa = EV.adiabatic_leapfrog("SAC", x0, p0, 2000.0, dt / 2.0, +1, i, j)
+        xb, pb = EV.adiabatic_leapfrog("SAC", xa, pa, 2000.0, dt / 2.0, +1, i, j)
+        r_na = jnp.stack([xb, pb], axis=-1)
+        rho_na = EV.backward_predict(
+            "SAC", 2000.0, dt, r_na, density.rho[k], k, dist, (center, width)
+        )
+        # criterion 0: every point is coupled, so the fused result must match
+        np.testing.assert_allclose(
+            np.asarray(fused.points[k]), np.asarray(r_na), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.rho[k]), np.asarray(rho_na), atol=1e-12,
+            err_msg=f"element {k}",
+        )
