@@ -195,14 +195,21 @@ def predict_complex(state: ComplexTrainState, test_features, with_variance: bool
 
     Returns RI means: ``(mean_raw (M, 2), var (M,), cutoff_raw (M, 2))``.
     """
-    p = state.params
-    k_star, kt_re, kt_im = covariance_matrices(p, test_features, state.features, same=False)
-    mean = _mean_ri(k_star, kt_re, kt_im, state.v)
+    from gple_tpu.ops.kernels import predict_dtype
+
+    dt_p = predict_dtype()
+    p = jax.tree.map(lambda a: jnp.asarray(a).astype(dt_p), state.params)
+    k_star, kt_re, kt_im = covariance_matrices(
+        p, test_features.astype(dt_p), state.features.astype(dt_p), same=False
+    )
+    v32 = state.v.astype(dt_p)
+    mean = _mean_ri(k_star, kt_re, kt_im, v32).astype(jnp.float64)
     if not with_variance:
         return mean / state.rescale, None, mean / state.rescale
     # self-covariance k(x, x) = sigma^2 (m_R^2 + m_I^2 + noise^2)
     self_k = p.magnitude**2 * (p.real_magnitude**2 + p.imag_magnitude**2 + p.noise**2)
-    pr, pi, qr, qi = state.p_re, state.p_im, state.q_re, state.q_im
+    pr, pi = state.p_re.astype(dt_p), state.p_im.astype(dt_p)
+    qr, qi = state.q_re.astype(dt_p), state.q_im.astype(dt_p)
     # Re(K_* P K_*^H): K_* real
     t1 = jnp.sum((k_star @ pr) * k_star, axis=-1)
     # Re(Kt_* conj(P) Kt_*^H)
@@ -214,7 +221,7 @@ def predict_complex(state: ComplexTrainState, test_features, with_variance: bool
     # Re(K_* conj(Q) conj(Kt_*)^T)
     u_re, u_im = k_star @ qr, -(k_star @ qi)
     t4 = jnp.sum(u_re * kt_re + u_im * kt_im, axis=-1)
-    var = self_k - t1 - t2 - t3 - t4
+    var = (self_k - t1 - t2 - t3 - t4).astype(jnp.float64)
     cut = cutoff_factor(ri.absval(mean), var)
     return mean / state.rescale, var, ri.scale(mean, cut) / state.rescale
 

@@ -42,6 +42,19 @@ RESCALE_MAXIMUM = 10.0
 CONNECTING_POINT = 2.0
 
 
+def predict_dtype():
+    """Precision of the PREDICTION path (cross-kernels, means, variances).
+
+    GP predictions carry intrinsic model error orders of magnitude above f32
+    round-off, so on TPU the O(M N) predict math runs on the MXU in float32
+    (f64 matmuls are ~100x slower, emulated); results are returned as f64.
+    The fit factorizations and analytic conservation integrals stay f64.
+    CPU keeps f64 end-to-end (reference-exact for the test oracle)."""
+    import jax
+
+    return jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+
+
 class KernelParams(NamedTuple):
     """(magnitude, lengths, noise) -- reference parameter order kernel.cpp:253-273."""
 
@@ -139,13 +152,23 @@ def predict_real(state: RealTrainState, test_features, with_variance: bool = Tru
     back to label units; variance is in rescaled units to match the cutoff
     comparison of the reference (kernel.cpp:495-519).
     """
-    k_star = kernel_matrix(state.params, test_features, state.features, same=False)
-    mean_scaled = k_star @ state.alpha
+    dt_p = predict_dtype()
+    params32 = KernelParams(
+        magnitude=state.params.magnitude.astype(dt_p),
+        lengths=state.params.lengths.astype(dt_p),
+        noise=state.params.noise.astype(dt_p),
+    )
+    k_star = kernel_matrix(
+        params32, test_features.astype(dt_p), state.features.astype(dt_p), same=False
+    )
+    mean_scaled = (k_star @ state.alpha.astype(dt_p)).astype(jnp.float64)
     if not with_variance:
         return mean_scaled / state.rescale, None, mean_scaled / state.rescale
     # var_i = k(x_i, x_i) - k_star_i K^-1 k_star_i^T : two MXU matmuls
-    self_k = state.params.magnitude**2 * (1.0 + state.params.noise**2)
-    var = self_k - jnp.sum((k_star @ state.kinv) * k_star, axis=-1)
+    self_k = params32.magnitude**2 * (1.0 + params32.noise**2)
+    var = (
+        self_k - jnp.sum((k_star @ state.kinv.astype(dt_p)) * k_star, axis=-1)
+    ).astype(jnp.float64)
     cut = cutoff_factor(mean_scaled, var)
     return mean_scaled / state.rescale, var, mean_scaled * cut / state.rescale
 
