@@ -27,8 +27,10 @@ TPU representation: **complex128 does not exist on TPU**, so every complex
 quantity here is a trailing-axis-2 float64 RI array (see
 :mod:`gple_tpu.utils.ri`) and every complex matrix is an explicit (re, im)
 pair of float64 matrices; all O(N^3)/O(M N^2) contractions are real dots that
-map straight onto the MXU.  The Hermitian Schur inverse uses the real
-symmetric 2N x 2N embedding [[Sr, -Si], [Si, Sr]].  As with the real kernel,
+map straight onto the MXU.  The Hermitian Schur inverse comes from the real
+N x N block identity Re(P) = (A + B A^-1 B)^-1, Im(P) = -A^-1 B Re(P), and
+prediction-path matmuls run in float32 (see kernels.predict_dtype).  As with
+the real kernel,
 the reference's hand-derived gradients (complex_kernel.cpp:379-590) are
 replaced by ``jax.grad``.
 """
@@ -164,7 +166,7 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
         return ri.rmatvec(k, vv) + ri.matvec(kt_re, kt_im, ri.conj(vv))
 
     v = apply_augmented_inverse(y)
-    for _ in range(2):
+    for _ in range(5):
         v = v + apply_augmented_inverse(y - apply_augmented(v))
     return ComplexTrainState(
         params=params, features=features, labels=y, rescale=rescale,

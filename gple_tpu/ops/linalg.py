@@ -34,8 +34,9 @@ import jax.numpy as jnp
 
 #: f32 Newton-Schulz iterations (reaches the f32 floor ~cond * 1e-7)
 NS_F32_ITERS = 60
-#: f64 polish iterations (each squares the residual)
-NS_F64_ITERS = 3
+#: f64 polish iterations (each squares the residual); the remaining ~1e-2
+#: inverse residual is absorbed by iterative refinement of the solves
+NS_F64_ITERS = 1
 
 
 def _ns_scan(k, x, iters: int):
@@ -79,7 +80,7 @@ def _psd_inverse_jvp(primals, tangents):
     return kinv, -kinv @ dk @ kinv
 
 
-def refine_solve(kinv, k, y, iters: int = 2):
+def refine_solve(kinv, k, y, iters: int = 5):
     """Iterative refinement of x = K^-1 y given an approximate inverse:
     x += X (y - K x).  f64 O(N^2) per step; error shrinks by ||I - K X||."""
     x = kinv @ y

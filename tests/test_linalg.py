@@ -20,7 +20,7 @@ def gram_like(n, length=0.5, noise=1e-2, seed=0):
 def test_newton_schulz_matches_direct(n, length):
     k = gram_like(n, length)
     cond = float(np.linalg.cond(np.asarray(k)))
-    ns = np.asarray(_newton_schulz_inverse(k))
+    ns = np.asarray(_newton_schulz_inverse(k, 60, 3))
     direct = np.asarray(_direct_inverse(k))
     # residual ||K X - I|| is the meaningful metric; NS plateaus at ~cond*eps
     res_ns = np.abs(np.asarray(k) @ ns - np.eye(n)).max()
@@ -33,7 +33,10 @@ def test_newton_schulz_solve_accuracy():
     k = gram_like(256, 0.3, seed=1)
     rng = np.random.default_rng(2)
     y = jnp.asarray(rng.normal(size=256))
-    a_ns = np.asarray(_newton_schulz_inverse(k) @ y)
+    from gple_tpu.ops.linalg import refine_solve
+
+    kinv_ns = _newton_schulz_inverse(k)  # default config (1 f64 polish)
+    a_ns = np.asarray(refine_solve(kinv_ns, k, y))
     a_direct = np.asarray(_direct_inverse(k) @ y)
     denom = np.abs(a_direct).max()
     assert np.abs(a_ns - a_direct).max() / denom < 1e-8
