@@ -127,8 +127,11 @@ def fit_real(params: KernelParams, features, labels_raw) -> RealTrainState:
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-300)
     y = labels_real * rescale
     k = kernel_matrix(params, features, features, same=True)
-    kinv = psd_inverse(k)
-    alpha = refine_solve(kinv, k, y)
+    # K^-1 at predict precision (f32 on TPU: it only gates LOOCV, variance,
+    # and preconditioning); alpha gets full f64 accuracy from iterative
+    # refinement against the f64 kernel
+    kinv = psd_inverse(k.astype(predict_dtype())).astype(jnp.float64)
+    alpha = refine_solve(kinv, k, y, iters=7)
     return RealTrainState(
         params=params, features=features, labels=y, rescale=rescale,
         kinv=kinv, alpha=alpha,
