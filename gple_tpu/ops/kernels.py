@@ -127,11 +127,8 @@ def fit_real(params: KernelParams, features, labels_raw) -> RealTrainState:
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-300)
     y = labels_real * rescale
     k = kernel_matrix(params, features, features, same=True)
-    # K^-1 at predict precision (f32 on TPU: it only gates LOOCV, variance,
-    # and preconditioning); alpha gets full f64 accuracy from iterative
-    # refinement against the f64 kernel
-    kinv = psd_inverse(k.astype(predict_dtype())).astype(jnp.float64)
-    alpha = refine_solve(kinv, k, y, iters=7)
+    kinv = psd_inverse(k)
+    alpha = refine_solve(kinv, k, y, iters=3)
     return RealTrainState(
         params=params, features=features, labels=y, rescale=rescale,
         kinv=kinv, alpha=alpha,

@@ -3,28 +3,22 @@
 XLA:TPU lowers ``cho_solve`` / ``triangular_solve`` to blocked sequential
 loops whose compile time grows super-linearly with N on the axon toolchain
 (empirically: the full fit+evolve step compiles in minutes at N = 256 but
-hangs for >25 min at N >= 512, while plain matmuls compile in seconds).  The
-hot path therefore has NO triangular solves: SPD matrices are inverted with a
-Newton-Schulz iteration
+hangs for >25 min at N >= 512, while ``cholesky`` and matmuls compile in
+seconds).  The hot path therefore has NO triangular solves:
 
-    X_{k+1} = X_k (2 I - K X_k),    X_0 = K^T / (||K||_1 ||K||_inf)
+* ``psd_inverse`` on TPU = Cholesky + an EXACT matmul-only triangular
+  inversion: L = D (I + U) with U strictly lower (nilpotent), and the finite
+  Neumann sum (I + U)^-1 = sum_k (-U)^k factors into the binary product
+  prod_j (I + (-U)^(2^j)) -- ceil(log2 N) levels of two matmuls (~20 matmuls
+  at N = 1024, residual ~1e-6 up to cond 1e7), plus one Newton-Schulz polish.
+* solves add O(N^2) f64 iterative refinement (``refine_solve``), so alpha and
+  the complex augmented solve carry full f64 accuracy.
+* the backward pass of ``psd_inverse`` uses the exact identity
+  d(K^-1) = -K^-1 dK K^-1.
 
-run in MIXED precision: the O(N^3) iteration bulk in float32 (MXU-native,
-~100x the f64 rate), followed by a couple of float64 polish iterations.
-Quadratic convergence: with the GP kernel's pinned noise (cond <= ~1e4 N) the
-f32 stage plateaus at ~cond * 1e-7 and each f64 polish squares the residual,
-so 3 polish steps reach ~cond * eps.
-
-Solves that need full f64 accuracy (alpha = K^-1 y) add iterative refinement:
-x += X (y - K x) with f64 O(N^2) residuals -- each step multiplies the error
-by ||I - KX|| << 1.
-
-The backward pass of ``psd_inverse`` uses the exact identity
-d(K^-1) = -K^-1 dK K^-1 instead of differentiating the iteration.
-
-On CPU backends the direct Cholesky inverse is used (faster there, and
-matching the reference's LDLT solve, kernel.cpp:281-283); both paths agree to
-solver accuracy, so the CPU test suite validates the physics of the TPU path.
+A mixed-precision Newton-Schulz path is kept as a reference implementation.
+On CPU the direct Cholesky inverse is used (matching the reference's LDLT
+solve, kernel.cpp:281-283).
 """
 
 from __future__ import annotations
@@ -32,31 +26,97 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-#: f32 Newton-Schulz iterations (reaches the f32 floor ~cond * 1e-7)
-NS_F32_ITERS = 60
-#: f64 polish iterations (each squares the residual); the remaining ~1e-2
-#: inverse residual is absorbed by iterative refinement of the solves
-NS_F64_ITERS = 1
+#: f32 stage bound (typically exits earlier on the stall test)
+NS_F32_MAX_ITERS = 60
+#: f64 polish bound (typically 2-4 iterations)
+NS_F64_MAX_ITERS = 8
+#: polish convergence target on max|I - K X|
+NS_TOL = 1e-8
 
 
 def _ns_scan(k, x, iters: int):
     eye2 = 2.0 * jnp.eye(k.shape[0], dtype=k.dtype)
 
     def body(x, _):
-        return x @ (eye2 - k @ x), None
+        x = x @ (eye2 - k @ x)
+        # re-symmetrize every step: rounding noise otherwise accumulates in
+        # the asymmetric subspace (the iteration only controls K X, not X K)
+        return 0.5 * (x + x.T), None
 
     x, _ = jax.lax.scan(body, x, None, length=iters)
     return x
 
 
-def _newton_schulz_inverse(k, f32_iters: int = NS_F32_ITERS,
-                           f64_iters: int = NS_F64_ITERS):
-    norm1 = jnp.max(jnp.sum(jnp.abs(k), axis=0))
-    norminf = jnp.max(jnp.sum(jnp.abs(k), axis=1))
-    x0 = (k.T / (norm1 * norminf)).astype(jnp.float32)
-    x = _ns_scan(k.astype(jnp.float32), x0, f32_iters).astype(k.dtype)
-    x = _ns_scan(k, x, f64_iters)
+def _ns_adaptive(k, x0, max_iters: int, tol: float, stall: float):
+    """Newton-Schulz with data-dependent trip count: iterate while the
+    residual max|I - K X| still improves (by factor < ``stall``) and exceeds
+    ``tol``.  The residual reuses the K X product of the update, so the test
+    costs only a reduction."""
+    eye = jnp.eye(k.shape[0], dtype=k.dtype)
+    big = jnp.asarray(1e30, dtype=jnp.float32)
+
+    def cond(carry):
+        _, r, r_prev, it = carry
+        return (r > tol) & (r < stall * r_prev) & (it < max_iters)
+
+    def body(carry):
+        x, r, _, it = carry
+        t = k @ x
+        x_new = x @ (2.0 * eye - t)
+        x_new = 0.5 * (x_new + x_new.T)
+        r_new = jnp.max(jnp.abs(eye - t)).astype(jnp.float32)
+        return (x_new, r_new, r, it + 1)
+
+    x, _, _, _ = jax.lax.while_loop(cond, body, (x0, big, 2.0 * big, 0))
+    return x
+
+
+def _newton_schulz_inverse(k, f32_iters: int = NS_F32_MAX_ITERS,
+                           f64_iters: int = NS_F64_MAX_ITERS):
+    """Mixed-precision Newton-Schulz (kept as a fallback/reference path).
+
+    X0 = K^T / (||K||_1 ||K||_inf) keeps every iterate a polynomial in K
+    (simultaneous eigenbasis -- empirically the aggressive I/lambda_max start
+    diverges under f32 rounding, this one does not)."""
+    k32 = k.astype(jnp.float32)
+    norm1 = jnp.max(jnp.sum(jnp.abs(k32), axis=0))
+    norminf = jnp.max(jnp.sum(jnp.abs(k32), axis=1))
+    x0 = k32.T / (norm1 * norminf)
+    x = _ns_scan(k32, x0, f32_iters).astype(k.dtype)
+    x = _ns_adaptive(k, x, f64_iters, NS_TOL, 0.999)
     return 0.5 * (x + x.T)
+
+
+def triangular_inverse_lower(low):
+    """Exact inverse of a lower-triangular matrix with matmuls only.
+
+    Write L = D (I + U) with D = diag(L) and U strictly lower (nilpotent,
+    U^N = 0).  Then (I + U)^-1 = sum_k (-U)^k, and the finite sum factors into
+    the binary product  prod_j (I + V^(2^j)), V = -U  -- ceil(log2 N) levels
+    of two matmuls each: EXACT, ~20 matmuls at N = 1024, no triangular_solve
+    (whose XLA:TPU lowering compile-hangs at these sizes)."""
+    n = low.shape[-1]
+    d = jnp.diagonal(low, axis1=-2, axis2=-1)
+    v = -(low / d[..., :, None] - jnp.eye(n, dtype=low.dtype))
+    acc = jnp.eye(n, dtype=low.dtype) + v
+    p = v
+    levels = max(1, (n - 1).bit_length() - 1)
+    for _ in range(levels):
+        p = p @ p
+        acc = acc + acc @ p
+    return acc / d[..., None, :]
+
+
+def _chol_matmul_inverse(k):
+    """K^-1 = L^-T L^-1 via Cholesky + the exact nilpotent triangular inverse,
+    followed by one Newton-Schulz polish step to absorb the series rounding."""
+    low = jnp.linalg.cholesky(k)
+    linv = triangular_inverse_lower(low)
+    kinv = jnp.swapaxes(linv, -1, -2) @ linv
+    # one f64 polish step cleans the triangular-series rounding
+    eye2 = 2.0 * jnp.eye(k.shape[-1], dtype=k.dtype)
+    kinv = kinv @ (eye2 - k @ kinv)
+    return 0.5 * (kinv + jnp.swapaxes(kinv, -1, -2))
 
 
 def _direct_inverse(k):
@@ -67,9 +127,11 @@ def _direct_inverse(k):
 
 @jax.custom_jvp
 def psd_inverse(k):
-    """Inverse of a symmetric positive-definite matrix, backend-adaptive."""
+    """Inverse of a symmetric positive-definite matrix, backend-adaptive:
+    Cholesky + cho_solve on CPU; Cholesky + exact matmul-only triangular
+    inversion on TPU (where cho_solve/triangular_solve compile-hang)."""
     if jax.default_backend() == "tpu":
-        return _newton_schulz_inverse(k)
+        return _chol_matmul_inverse(k)
     return _direct_inverse(k)
 
 

@@ -1,11 +1,17 @@
-"""Newton-Schulz PSD inverse: accuracy on representative GP Gram matrices."""
+"""TPU linear algebra: exact matmul-only inversion and refined solves."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gple_tpu.ops.linalg import _direct_inverse, _newton_schulz_inverse
+from gple_tpu.ops.linalg import (
+    _chol_matmul_inverse,
+    _direct_inverse,
+    _newton_schulz_inverse,
+    refine_solve,
+    triangular_inverse_lower,
+)
 
 
 def gram_like(n, length=0.5, noise=1e-2, seed=0):
@@ -16,30 +22,52 @@ def gram_like(n, length=0.5, noise=1e-2, seed=0):
     return jnp.asarray(np.exp(-0.5 * d2 / length**2) + noise**2 * np.eye(n))
 
 
-@pytest.mark.parametrize("n,length", [(64, 0.5), (256, 0.3), (256, 2.0)])
-def test_newton_schulz_matches_direct(n, length):
+def test_triangular_inverse_exact():
+    rng = np.random.default_rng(1)
+    for n in (32, 200, 513):
+        low = np.tril(rng.normal(size=(n, n)) * 0.3) + np.diag(1.0 + rng.uniform(size=n))
+        linv = np.asarray(triangular_inverse_lower(jnp.asarray(low)))
+        np.testing.assert_allclose(linv @ low, np.eye(n), atol=1e-10)
+
+
+@pytest.mark.parametrize("n,length", [(64, 0.5), (256, 0.3), (256, 2.0), (512, 4.0)])
+def test_chol_matmul_inverse_matches_direct(n, length):
+    """The TPU production inverse agrees with the direct Cholesky inverse
+    across the full conditioning range of framework kernels (up to ~1e7)."""
     k = gram_like(n, length)
     cond = float(np.linalg.cond(np.asarray(k)))
-    ns = np.asarray(_newton_schulz_inverse(k, 60, 3))
-    direct = np.asarray(_direct_inverse(k))
-    # residual ||K X - I|| is the meaningful metric; NS plateaus at ~cond*eps
-    res_ns = np.abs(np.asarray(k) @ ns - np.eye(n)).max()
-    res_direct = np.abs(np.asarray(k) @ direct - np.eye(n)).max()
-    assert res_ns < cond * 1e-12, (cond, res_ns, res_direct)
+    x = np.asarray(_chol_matmul_inverse(k))
+    res = np.abs(np.asarray(k) @ x - np.eye(n)).max()
+    assert res < max(cond * 2e-13, 1e-9), (cond, res)
+    # symmetric
+    np.testing.assert_allclose(x, x.T, atol=1e-12 * np.abs(x).max())
 
 
-def test_newton_schulz_solve_accuracy():
-    """alpha = K^-1 y via NS matches the direct solve to fit-relevant accuracy."""
-    k = gram_like(256, 0.3, seed=1)
+def test_chol_matmul_inverse_batched():
+    kb = jnp.stack([gram_like(128, 0.5, seed=1), gram_like(128, 1.0, seed=2)])
+    xb = np.asarray(_chol_matmul_inverse(kb))
+    for i in range(2):
+        res = np.abs(np.asarray(kb[i]) @ xb[i] - np.eye(128)).max()
+        assert res < 1e-7
+
+
+def test_refined_solve_accuracy():
+    """alpha via the production inverse + refinement matches the direct solve."""
+    k = gram_like(256, 2.0, seed=1)  # cond ~2e6
     rng = np.random.default_rng(2)
     y = jnp.asarray(rng.normal(size=256))
-    from gple_tpu.ops.linalg import refine_solve
-
-    kinv_ns = _newton_schulz_inverse(k)  # default config (1 f64 polish)
-    a_ns = np.asarray(refine_solve(kinv_ns, k, y))
+    a = np.asarray(refine_solve(_chol_matmul_inverse(k), k, y, iters=3))
     a_direct = np.asarray(_direct_inverse(k) @ y)
     denom = np.abs(a_direct).max()
-    assert np.abs(a_ns - a_direct).max() / denom < 1e-8
+    assert np.abs(a - a_direct).max() / denom < 1e-9
+
+
+def test_newton_schulz_fallback_moderate_cond():
+    """The NS reference path still works at moderate conditioning."""
+    k = gram_like(128, 0.4)  # cond ~1e4-1e5
+    x = np.asarray(_newton_schulz_inverse(k))
+    res = np.abs(np.asarray(k) @ x - np.eye(128)).max()
+    assert res < 1e-5
 
 
 def test_custom_jvp_exact():
