@@ -26,22 +26,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-#: f32 stage bound (typically exits earlier on the stall test)
-NS_F32_MAX_ITERS = 60
-#: f64 polish bound (typically 2-4 iterations)
-NS_F64_MAX_ITERS = 8
-#: polish convergence target on max|I - K X|
+#: f32 stage iterations: safely below the f32 rounding-blowup onset (~40+)
+NS_F32_MAX_ITERS = 36
+#: f64 continuation bound: finishes whatever the f32 stage left (adaptive;
+#: typically 3-5 iterations, up to the bound only at cond ~1e7 corners)
+NS_F64_MAX_ITERS = 48
+#: convergence target on max|I - K X|
 NS_TOL = 1e-8
 
 
 def _ns_scan(k, x, iters: int):
+    """Plain (one-sided) Newton-Schulz scan.  Deliberately NOT re-symmetrized:
+    in f32 the symmetrization mixes rounding noise between the left- and
+    right-inverse subspaces and triggers earlier divergence; the one-sided
+    iterate keeps K X ~ I, which is all the f64 continuation needs."""
     eye2 = 2.0 * jnp.eye(k.shape[0], dtype=k.dtype)
 
     def body(x, _):
-        x = x @ (eye2 - k @ x)
-        # re-symmetrize every step: rounding noise otherwise accumulates in
-        # the asymmetric subspace (the iteration only controls K X, not X K)
-        return 0.5 * (x + x.T), None
+        return x @ (eye2 - k @ x), None
 
     x, _ = jax.lax.scan(body, x, None, length=iters)
     return x
@@ -55,35 +57,45 @@ def _ns_adaptive(k, x0, max_iters: int, tol: float, stall: float):
     eye = jnp.eye(k.shape[0], dtype=k.dtype)
     big = jnp.asarray(1e30, dtype=jnp.float32)
 
+    del stall  # progress-based stalling misfires in the slow pre-asymptotic
+    # phase; the loop is bounded by tol, max_iters, and a divergence cutoff
+
     def cond(carry):
         _, r, r_prev, it = carry
-        return (r > tol) & (r < stall * r_prev) & (it < max_iters)
+        return (r > tol) & (r < 1e4) & (it < max_iters) & jnp.isfinite(r)
 
     def body(carry):
         x, r, _, it = carry
         t = k @ x
+        # one-sided update, like _ns_scan: symmetrizing mid-iteration mixes
+        # the kappa-amplified asymmetry of the f32 iterate back into K X
         x_new = x @ (2.0 * eye - t)
-        x_new = 0.5 * (x_new + x_new.T)
         r_new = jnp.max(jnp.abs(eye - t)).astype(jnp.float32)
         return (x_new, r_new, r, it + 1)
 
-    x, _, _, _ = jax.lax.while_loop(cond, body, (x0, big, 2.0 * big, 0))
+    # sentinel residual: above tol, below the divergence cutoff
+    r0 = jnp.asarray(1e3, dtype=jnp.float32)
+    x, _, _, _ = jax.lax.while_loop(cond, body, (x0, r0, 2.0 * r0, 0))
     return x
 
 
 def _newton_schulz_inverse(k, f32_iters: int = NS_F32_MAX_ITERS,
                            f64_iters: int = NS_F64_MAX_ITERS):
-    """Mixed-precision Newton-Schulz (kept as a fallback/reference path).
+    """Mixed-precision Newton-Schulz: the TPU production inverse.
 
-    X0 = K^T / (||K||_1 ||K||_inf) keeps every iterate a polynomial in K
-    (simultaneous eigenbasis -- empirically the aggressive I/lambda_max start
-    diverges under f32 rounding, this one does not)."""
+    The f32 stage (X0 = K^T / (||K||_1 ||K||_inf): every iterate a polynomial
+    in K, empirically stable where aggressive scalings diverge) does the bulk
+    at MXU speed; the f64 adaptive continuation finishes from wherever f32
+    stopped -- at the usual cond <= 1e5 it runs a handful of iterations, at
+    the cond ~1e7 optimizer corners up to NS_F64_MAX_ITERS.  A NaN guard
+    restarts the continuation from X0 if the f32 stage blew up."""
     k32 = k.astype(jnp.float32)
     norm1 = jnp.max(jnp.sum(jnp.abs(k32), axis=0))
     norminf = jnp.max(jnp.sum(jnp.abs(k32), axis=1))
     x0 = k32.T / (norm1 * norminf)
     x = _ns_scan(k32, x0, f32_iters).astype(k.dtype)
-    x = _ns_adaptive(k, x, f64_iters, NS_TOL, 0.999)
+    x = jnp.where(jnp.all(jnp.isfinite(x)), x, x0.astype(k.dtype))
+    x = _ns_adaptive(k, x, f64_iters, NS_TOL, 0.9995)
     return 0.5 * (x + x.T)
 
 
@@ -131,7 +143,10 @@ def psd_inverse(k):
     Cholesky + cho_solve on CPU; Cholesky + exact matmul-only triangular
     inversion on TPU (where cho_solve/triangular_solve compile-hang)."""
     if jax.default_backend() == "tpu":
-        return _chol_matmul_inverse(k)
+        # NS, not Cholesky: the XLA:TPU cholesky custom-call RUNS ~100 ms at
+        # N = 1024 here (and cho_solve does not even compile); the pure-matmul
+        # iteration is ~10x faster end to end (see benchmarks/bench_probe.py)
+        return _newton_schulz_inverse(k)
     return _direct_inverse(k)
 
 
