@@ -26,12 +26,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-#: f32 stage iterations: safely below the f32 rounding-blowup onset (~40+)
-NS_F32_MAX_ITERS = 36
-#: f64 continuation bound: finishes whatever the f32 stage left (adaptive;
-#: typically 3-5 iterations, up to the bound only at cond ~1e7 corners)
-NS_F64_MAX_ITERS = 48
-#: convergence target on max|I - K X|
+#: f32 stage iterations (fixed: while_loops cost ~15ms/iteration in sync
+#: overhead on the axon backend, measured 499 vs 67 ms/step)
+NS_F32_MAX_ITERS = 48
+#: f64 continuation iterations: 4 quadratic steps converge the inverse from
+#: the f32 floor for cond <= ~5e6; at the rare cond ~1e7 optimizer corners the
+#: residual lands at ~0.5 and the refined solves still contract
+NS_F64_MAX_ITERS = 4
+#: convergence target on max|I - K X| (adaptive variant only)
 NS_TOL = 1e-8
 
 
@@ -95,7 +97,9 @@ def _newton_schulz_inverse(k, f32_iters: int = NS_F32_MAX_ITERS,
     x0 = k32.T / (norm1 * norminf)
     x = _ns_scan(k32, x0, f32_iters).astype(k.dtype)
     x = jnp.where(jnp.all(jnp.isfinite(x)), x, x0.astype(k.dtype))
-    x = _ns_adaptive(k, x, f64_iters, NS_TOL, 0.9995)
+    x = _ns_scan(k, x, f64_iters)
+    # symmetrize only AFTER convergence: the one-sided iterate's asymmetry is
+    # kappa * residual and vanishes with it
     return 0.5 * (x + x.T)
 
 
