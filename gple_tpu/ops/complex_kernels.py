@@ -136,8 +136,13 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
     labels = jnp.asarray(labels)
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-300)
     y = labels * rescale
-    k, kt_re, kt_im = covariance_matrices(params, features, features, same=True)
-    k64, kt_re64, kt_im64 = k, kt_re, kt_im
+    k64, kt_re64, kt_im64 = covariance_matrices(params, features, features, same=True)
+    # the O(N^3) block chain runs at predict precision (f32 on TPU): P/Q only
+    # serve as LOOCV/variance estimators and as the preconditioner of the
+    # f64-refined augmented solve for v below
+    dt_p = predict_dtype()
+    k = k64.astype(dt_p)
+    kt_re, kt_im = kt_re64.astype(dt_p), kt_im64.astype(dt_p)
     kinv = psd_inverse(k)
     # T = K^-1 conj(Kt)
     t_re = kinv @ kt_re
@@ -158,6 +163,8 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
     p_im = 0.5 * (p_im - p_im.T)
     # Q = -T P
     q_re, q_im = ri.matmul(-t_re, -t_im, p_re, p_im)
+    p_re, p_im = p_re.astype(jnp.float64), p_im.astype(jnp.float64)
+    q_re, q_im = q_re.astype(jnp.float64), q_im.astype(jnp.float64)
 
     # v = P y + conj(Q y), with f64 iterative refinement against the
     # augmented system [[K, Kt], [Kt*, K*]] [v; v*] = [y; y*]
@@ -168,7 +175,7 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
         return ri.rmatvec(k64, vv) + ri.matvec(kt_re64, kt_im64, ri.conj(vv))
 
     v = apply_augmented_inverse(y)
-    for _ in range(3):
+    for _ in range(6):
         v = v + apply_augmented_inverse(y - apply_augmented(v))
     return ComplexTrainState(
         params=params, features=features, labels=y, rescale=rescale,
