@@ -12,8 +12,11 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -24,7 +27,7 @@ def main():
     ap.add_argument("--sigma-p", type=float, default=1.0)
     ap.add_argument("-n", type=int, default=128, help="GPLE points per element")
     ap.add_argument("--dt", type=float, default=1.0)
-    ap.add_argument("--reopt-time", type=float, default=5.0)
+    ap.add_argument("--reopt-time", type=float, default=10.0)
     ap.add_argument("--output-time", type=float, default=10.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--max-ticks", type=int, default=None)
@@ -53,7 +56,11 @@ def main():
         dx_input=1.0, output_time=cfg.output_time, dt_input=cfg.dt,
     )
     t0 = time.time()
-    se = DVRSolver(se_cfg).run(store_wigner=False)
+    # the DVR oracle uses eigh (fine on CPU; custom calls are pathological on
+    # the axon TPU backend) -- pin it to the host
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        se = DVRSolver(se_cfg).run(store_wigner=False)
     t_se = time.time() - t0
     print(f"# DVR: {len(se.times)} frames in {t_se:.1f}s", file=sys.stderr)
 

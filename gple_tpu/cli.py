@@ -78,6 +78,16 @@ def main(argv=None):
         print(lead, *last.population_mci)
         return 0
 
+    # the exact oracles use eigh / complex128 FFT, which the axon TPU backend
+    # does not support -- pin them to the host CPU unless overridden
+    import contextlib
+
+    oracle_ctx = (
+        contextlib.nullcontext()
+        if opts.platform
+        else jax.default_device(jax.local_devices(backend="cpu")[0])
+    )
+
     if opts.cmd == "se":
         from gple_tpu.oracles.schrodinger import DVRConfig, DVRSolver
 
@@ -87,9 +97,10 @@ def main(argv=None):
             p0=cfg.p0, sigma_p=cfg.sigma_p0, xmin=cfg.xmin, xmax=cfg.xmax,
             dx_input=1.0, output_time=cfg.output_time, dt_input=cfg.dt,
         )
-        res = DVRSolver(se_cfg).run(
-            store_wigner=not opts.no_wigner, max_outputs=opts.max_outputs
-        )
+        with oracle_ctx:
+            res = DVRSolver(se_cfg).run(
+                store_wigner=not opts.no_wigner, max_outputs=opts.max_outputs
+            )
         res.save_txt(opts.outdir)
         import math
 
@@ -107,7 +118,8 @@ def main(argv=None):
             sigma_p=cfg.sigma_p0, xmin=cfg.xmin, xmax=cfg.xmax,
             dx_input=1.0, output_time=cfg.output_time, dt_input=cfg.dt,
         )
-        res = LiouvilleSolver(le_cfg).run(max_outputs=opts.max_outputs)
+        with oracle_ctx:
+            res = LiouvilleSolver(le_cfg).run(max_outputs=opts.max_outputs)
         res.save_txt(opts.outdir)
         import math
 

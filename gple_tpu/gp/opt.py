@@ -318,6 +318,24 @@ class Optimizer:
 
     # -- the main entry (reference Optimization::optimize, opt.cpp:1019) -----------
     def optimize(self, density: Density, extra: Density, surface_energies) -> OptResult:
+        """Runs on the host CPU even when the evolution runs on TPU: the
+        L-BFGS linesearch is a data-dependent while_loop (one device sync per
+        iteration on the axon backend, measured ~10 min per optimize on TPU vs
+        seconds on CPU), and the reference likewise runs NLopt on the host.
+        The point sets involved are tiny (N <= a few thousand), so transfers
+        are negligible."""
+        cpu_devices = jax.local_devices(backend="cpu")
+        if cpu_devices and jax.default_backend() != "cpu":
+            with jax.default_device(cpu_devices[0]):
+                density = jax.device_put(density, cpu_devices[0])
+                extra = jax.device_put(extra, cpu_devices[0])
+                surface_energies = jax.device_put(
+                    jnp.asarray(surface_energies), cpu_devices[0]
+                )
+                return self._optimize_impl(density, extra, surface_energies)
+        return self._optimize_impl(density, extra, surface_energies)
+
+    def _optimize_impl(self, density: Density, extra: Density, surface_energies) -> OptResult:
         data, off_active = self._pack_data(density, extra, surface_energies)
         self._tick += 1
 

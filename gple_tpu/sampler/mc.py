@@ -151,9 +151,13 @@ def _autocorrelation_sweep(key, dist_fn, dist_params, pts, displacement):
     half = length // 2
     centered = chain - jnp.mean(chain, axis=0, keepdims=True)  # (L, M, D)
     # FFT autocorrelation over the step axis: sum_i c_i . c_{i+j}
+    # (f32: the TPU FFT has no f64 operand support, and this is a tuning
+    # statistic, not an observable)
     nfft = 2 * length
-    f = jnp.fft.rfft(centered, n=nfft, axis=0)
-    raw = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=0)[:length]  # (L, M, D)
+    f = jnp.fft.rfft(centered.astype(jnp.float32), n=nfft, axis=0)
+    raw = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=0)[:length].astype(
+        chain.dtype
+    )  # (L, M, D)
     raw = jnp.sum(raw, axis=-1)                                    # dot over dims
     denom = length - jnp.arange(length)
     ac = jnp.mean(raw, axis=1) / denom                             # avg over walkers
