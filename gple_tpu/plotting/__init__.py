@@ -1,4 +1,7 @@
 from gple_tpu.plotting.plots import (
+    animate_phase_space,
+    animate_point_cloud,
+    animate_psi,
     plot_averages,
     plot_gple_log,
     plot_oracle_averages,
@@ -8,6 +11,9 @@ from gple_tpu.plotting.plots import (
 )
 
 __all__ = [
+    "animate_phase_space",
+    "animate_point_cloud",
+    "animate_psi",
     "plot_averages",
     "plot_gple_log",
     "plot_oracle_averages",

@@ -172,10 +172,132 @@ def plot_point_cloud(coord_path: str, value_path: str, out_png: str,
     return out_png
 
 
+def animate_point_cloud(coord_path: str, value_path: str, out_gif: str,
+                        fps: int = 10, max_frames: Optional[int] = None) -> str:
+    """Animated scatter of the sampled points colored by |rho|, one gif over
+    all output frames (reference plot.py:423-449 'density'/'extra point'
+    animations; PillowWriter replaces imagemagick)."""
+    from matplotlib import animation
+
+    coords = _read_blocks(coord_path)
+    values = _read_blocks(value_path)
+    n = min(len(coords), len(values), max_frames or len(coords))
+    n_elem = coords[0].shape[0]
+    labels = ["rho00", "rho10", "rho11"]
+    fig, axes = plt.subplots(1, n_elem, figsize=(4 * n_elem, 4))
+    if n_elem == 1:
+        axes = [axes]
+    xmin = min(float(c[k][: c[k].shape[0] // 2].min()) for c in coords[:n] for k in range(n_elem))
+    xmax = max(float(c[k][: c[k].shape[0] // 2].max()) for c in coords[:n] for k in range(n_elem))
+    scatters = []
+    for k in range(n_elem):
+        sc = axes[k].scatter([], [], c=[], s=4, cmap="viridis")
+        axes[k].set_title(labels[k] if k < 3 else str(k))
+        scatters.append(sc)
+
+    def frame(i):
+        for k in range(n_elem):
+            row = coords[i][k]
+            half = row.shape[0] // 2
+            x, p = row[:half], row[half:]
+            vals = values[i][k]
+            mag = np.hypot(vals[0::2], vals[1::2])
+            scatters[k].set_offsets(np.stack([x, p], axis=-1))
+            scatters[k].set_array(mag)
+            scatters[k].set_clim(0.0, max(float(mag.max()), 1e-300))
+            axes[k].set_xlim(xmin, xmax)
+            axes[k].set_ylim(float(p.min()) - 1, float(p.max()) + 1)
+        return scatters
+
+    ani = animation.FuncAnimation(fig, frame, n, interval=1000 // fps, blit=False)
+    ani.save(out_gif, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_gif
+
+
+def animate_phase_space(phase_path: str, n_grid: int, out_gif: str,
+                        log_scale: bool = False, fps: int = 10,
+                        max_frames: Optional[int] = None) -> str:
+    """Animated heatmaps of the gridded GP prediction per element (reference
+    plot.py:452-566 phase/variance animations; set ``log_scale`` for the
+    variance file var.txt, which the reference renders in log scale)."""
+    from matplotlib import animation
+
+    blocks = _read_blocks(phase_path)
+    n = min(len(blocks), max_frames or len(blocks))
+    n_elem = blocks[0].shape[0]
+    fig, axes = plt.subplots(1, n_elem, figsize=(4 * n_elem, 4))
+    if n_elem == 1:
+        axes = [axes]
+    images = []
+    for k in range(n_elem):
+        im = axes[k].imshow(np.zeros((n_grid, n_grid)), origin="lower",
+                            aspect="auto", cmap="RdBu_r")
+        axes[k].set_title(f"element {k}")
+        images.append(im)
+
+    def grid_of(b, k):
+        row = b[k]
+        re = row[0::2] if row.shape[0] == 2 * n_grid * n_grid else row
+        g = re.reshape(n_grid, n_grid).T
+        return np.log10(np.abs(g) + 1e-300) if log_scale else g
+
+    def frame(i):
+        for k in range(n_elem):
+            g = grid_of(blocks[i], k)
+            images[k].set_data(g)
+            vmax = max(float(np.abs(g).max()), 1e-300)
+            images[k].set_clim(-vmax if not log_scale else g.min(), vmax if not log_scale else g.max())
+        return images
+
+    ani = animation.FuncAnimation(fig, frame, n, interval=1000 // fps, blit=False)
+    ani.save(out_gif, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_gif
+
+
+def animate_psi(outdir: str, out_gif: str, fps: int = 10,
+                max_frames: Optional[int] = None) -> str:
+    """Animated |psi|^2 per surface from a DVR run's x.txt/t.txt/psi.txt
+    (reference schrodinger_equation/plot_psi.py)."""
+    from matplotlib import animation
+
+    x = np.loadtxt(os.path.join(outdir, "x.txt"))
+    t = np.atleast_1d(np.loadtxt(os.path.join(outdir, "t.txt")))
+    psi = np.loadtxt(os.path.join(outdir, "psi.txt"))
+    if psi.ndim == 1:
+        psi = psi[None, :]
+    n_grid = x.size
+    n_pes = psi.shape[1] // (2 * n_grid)
+    n = min(len(t), psi.shape[0], max_frames or len(t))
+    fig, ax = plt.subplots(figsize=(7, 4))
+    lines = [ax.plot([], [], label=f"surface {s}")[0] for s in range(n_pes)]
+    ax.set_xlim(float(x.min()), float(x.max()))
+    ax.legend()
+
+    def frame(i):
+        row = psi[i]
+        ymax = 1e-300
+        for s in range(n_pes):
+            seg = row[2 * s * n_grid : 2 * (s + 1) * n_grid]
+            dens = seg[0::2] ** 2 + seg[1::2] ** 2
+            lines[s].set_data(x, dens)
+            ymax = max(ymax, float(dens.max()))
+        ax.set_ylim(0.0, 1.1 * ymax)
+        ax.set_title(f"t = {t[i]:g}")
+        return lines
+
+    ani = animation.FuncAnimation(fig, frame, n, interval=1000 // fps, blit=False)
+    ani.save(out_gif, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_gif
+
+
 def plot_phase_space_frames(phase_path: str, n_grid: int, outdir: str,
                             max_frames: Optional[int] = 4) -> List[str]:
     """Contour frames of the gridded GP prediction (reference plot.py:423-566
-    renders these as gif animations; we emit per-frame pngs)."""
+    renders these as gif animations -- see :func:`animate_phase_space`; this
+    emits per-frame pngs)."""
     os.makedirs(outdir, exist_ok=True)
     blocks = _read_blocks(phase_path)
     outputs = []

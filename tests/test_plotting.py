@@ -39,6 +39,38 @@ def test_gple_plots(run_outputs, tmp_path):
         assert os.path.getsize(f) > 1000
 
 
+def test_animations(run_outputs, tmp_path):
+    """gif animations over driver outputs (reference plot.py:423-566)."""
+    cfg, outdir = run_outputs
+    g1 = P.animate_point_cloud(
+        os.path.join(outdir, "coord.txt"), os.path.join(outdir, "value.txt"),
+        str(tmp_path / "cloud.gif"), max_frames=2,
+    )
+    g2 = P.animate_phase_space(
+        os.path.join(outdir, "phase.txt"), cfg.num_grids_per_dim,
+        str(tmp_path / "phase.gif"), max_frames=2,
+    )
+    g3 = P.animate_phase_space(
+        os.path.join(outdir, "var.txt"), cfg.num_grids_per_dim,
+        str(tmp_path / "var.gif"), log_scale=True, max_frames=2,
+    )
+    for f in (g1, g2, g3):
+        assert os.path.getsize(f) > 1000
+
+
+def test_psi_animation(tmp_path):
+    """|psi|^2 animation from DVR outputs (reference plot_psi.py)."""
+    cfg = DVRConfig(
+        model="SAC", boundary="reflective", mass=2000.0, x0=-3.0, p0=25.0,
+        sigma_p=1.0, xmin=-5.0, xmax=5.0, dx_input=1.0, output_time=50.0,
+        dt_input=0.5,
+    )
+    res = DVRSolver(cfg).run(store_wigner=False, max_outputs=2)
+    res.save_txt(str(tmp_path))
+    gif = P.animate_psi(str(tmp_path), str(tmp_path / "psi.gif"), max_frames=2)
+    assert os.path.getsize(gif) > 1000
+
+
 def test_oracle_plot(tmp_path):
     cfg = DVRConfig(
         model="SAC", boundary="reflective", mass=2000.0, x0=-3.0, p0=25.0,
