@@ -46,6 +46,11 @@ class GPLEConfig:
     initial_population: Tuple[float, float] = (1.0, 0.0)
     initial_phase_factor: Tuple[float, float] = (0.0, 0.0)
     seed: int = 0
+    #: L-BFGS steps per stage: the initial cold fit and the warm-started
+    #: in-trajectory re-optimizations (the latter start near the optimum, so
+    #: half the steps reach the same loss in half the wall time)
+    opt_steps_initial: int = 60
+    opt_steps_reopt: int = 30
 
     # -- derived quantities (reference input.cpp:25-77) -----------------------
     @property

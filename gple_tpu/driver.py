@@ -78,6 +78,21 @@ def init_dist_all(params, pts3):
     return jnp.stack([INIT_DIST_ELEMS[k](params, pts3[k]) for k in range(NUM_ELEMENTS)])
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _tick_fused(model: str, mass: float, dt: float, density: Density,
+                extra: Density, gps: GPStates, diag_params, off_params):
+    """One tick's device work in ONE dispatch: evolve density + extra points,
+    the is-very-small test, the GP refactorization from the moved points, and
+    the drift-check scalars.  The per-tick host loop then costs a single
+    round-trip over the device tunnel instead of six (the reference does the
+    same work in one process, main.cpp:135-190)."""
+    new_density = EV.evolve_step(model, mass, dt, density, gp_dist_all, gps)
+    new_extra = EV.evolve_step(model, mass, dt, extra, gp_dist_all, gps)
+    small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
+    new_gps = fit_gp_states(diag_params, off_params, new_density)
+    return new_density, new_extra, small, new_gps, new_gps.population(), new_gps.purity()
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _grid_predictions(model_unused, gps: GPStates, grid_pts):
     """Cutoff prediction + variance of every element on the output grid."""
@@ -188,8 +203,11 @@ class GPLEDriver:
         self.optimizer = Optimizer(
             model=cfg.model, mass=cfg.mass, total_energy=self.total_energy,
             purity=self.purity, sigma_r0=np.asarray(cfg.sigma_r0), seed=cfg.seed,
+            lbfgs_steps=cfg.opt_steps_initial,
         )
         self.opt_result = self.optimizer.optimize(density, extra, energies)
+        # in-trajectory reopts warm-start near the optimum: fewer steps
+        self.optimizer.lbfgs_steps = cfg.opt_steps_reopt
         self.gps = self._refit(density)
         self.density = density
         self.extra = extra
@@ -221,15 +239,12 @@ class GPLEDriver:
         cfg = self.cfg
         gps = self.gps
         t0 = _time.perf_counter()
-        density = EV.evolve_step(
-            cfg.model, cfg.mass, cfg.dt, self.density, gp_dist_all, gps
+        diag_params, off_params = self.optimizer.fitted_params()
+        density, extra, small, new_gps, pop, pur = _tick_fused(
+            cfg.model, cfg.mass, cfg.dt, self.density, self.extra, gps,
+            diag_params, off_params,
         )
-        extra = EV.evolve_step(
-            cfg.model, cfg.mass, cfg.dt, self.extra, gp_dist_all, gps
-        )
-        small = np.asarray(
-            EV.is_very_small(cfg.model, cfg.mass, cfg.dt, density, gp_dist_all, gps)
-        )
+        small = np.asarray(small)
         self.phase_times["evolve"] += _time.perf_counter() - t0
         old_active = np.asarray(density.active)
         new_active = ~small
@@ -242,9 +257,9 @@ class GPLEDriver:
             # drift check with the refitted states (main.cpp:174-189)
             t0 = _time.perf_counter()
             self.density, self.extra = density, extra
-            self.gps = self._refit(density)
-            pop = float(self.gps.population())
-            pur = float(self.gps.purity())
+            self.gps = new_gps
+            pop = float(pop)
+            pur = float(pur)
             self.phase_times["refit"] += _time.perf_counter() - t0
             tol = 2.0 * AVERAGE_TOLERANCE
             if pur > (1.0 + tol) * self.purity or not (1.0 - tol < pop < 1.0 + tol):

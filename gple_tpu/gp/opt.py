@@ -124,8 +124,30 @@ def _raw_averages(diag_lengths, off_flat, data, with_off: bool):
 
 # -- inner solvers -------------------------------------------------------------------
 
+#: L-BFGS history length (two-loop recursion)
+LBFGS_HISTORY = 8
+#: candidate step scales of the vectorized linesearch (covers 2^-9 .. 2)
+LINESEARCH_SCALES = tuple(2.0**k for k in range(-9, 2, 2)) + (1.0,)
+
+
 def _lbfgs_scan(fn, z0, steps: int):
-    """Fixed-step L-BFGS with zoom linesearch; usable inside a jitted trace."""
+    """Backend-adaptive bounded L-BFGS inner solver.
+
+    On CPU (where the optimizer runs by default, like the reference's NLopt,
+    opt.cpp:1019) this is optax's zoom-linesearch L-BFGS: the data-dependent
+    while_loop is cheap in-process and evaluates the loss ~2-3x per step.
+    On TPU it is the scan-based variant below: zoom's while_loop costs one
+    device sync per iteration over the axon tunnel, so the linesearch becomes
+    a FIXED fan of candidate steps evaluated in one ``vmap`` (batched GP fits
+    on the MXU) -- no data-dependent control flow anywhere.
+    """
+    if jax.default_backend() == "cpu":
+        return _lbfgs_zoom(fn, z0, steps)
+    return _lbfgs_fixed_fan(fn, z0, steps)
+
+
+def _lbfgs_zoom(fn, z0, steps: int):
+    """optax L-BFGS with zoom linesearch (CPU path)."""
     opt = optax.lbfgs()
     state = opt.init(z0)
     vg = optax.value_and_grad_from_state(fn)
@@ -140,6 +162,80 @@ def _lbfgs_scan(fn, z0, steps: int):
 
     (z, _), _ = jax.lax.scan(step, (z0, state), None, length=steps)
     return z
+
+
+def _lbfgs_fixed_fan(fn, z0, steps: int):
+    """Fixed-step L-BFGS: two-loop recursion + a VECTORIZED linesearch (TPU
+    path).  The candidate fan doubles as a trust region: when no candidate
+    improves the loss the iterate stays put (the zero candidate), mirroring
+    NLopt's termination-by-stall rather than diverging.
+    """
+    shape = z0.shape
+    z0 = z0.ravel()
+    d = z0.shape[0]
+    m = LBFGS_HISTORY
+    scales = jnp.asarray(LINESEARCH_SCALES + (0.0,), dtype=z0.dtype)
+
+    def fn_flat(z):
+        return fn(z.reshape(shape))
+
+    def vg(z):
+        value, grad = jax.value_and_grad(fn_flat)(z)
+        return jnp.nan_to_num(value, nan=1e300, posinf=1e300), jnp.nan_to_num(grad)
+
+    def direction(g, S, Y, rho, k):
+        """Two-loop recursion over the circular (S, Y) history."""
+        q = g
+        alphas = []
+        for j in range(m):          # newest to oldest
+            i = (k - 1 - j) % m
+            valid = (rho[i] > 0.0) & (j < k)
+            a = jnp.where(valid, rho[i] * jnp.dot(S[i], q), 0.0)
+            q = q - a * Y[i]
+            alphas.append((i, valid, a))
+        i_last = (k - 1) % m
+        sy = jnp.dot(S[i_last], Y[i_last])
+        yy = jnp.dot(Y[i_last], Y[i_last])
+        gamma = jnp.where((k > 0) & (sy > 0.0) & (yy > 0.0), sy / jnp.maximum(yy, 1e-300), 1.0)
+        r = gamma * q
+        for i, valid, a in reversed(alphas):   # oldest to newest
+            b = jnp.where(valid, rho[i] * jnp.dot(Y[i], r), 0.0)
+            r = r + jnp.where(valid, (a - b), 0.0) * S[i]
+        return -r
+
+    def step(carry, _):
+        z, value, grad, S, Y, rho, k = carry
+        p = direction(grad, S, Y, rho, k)
+        # safeguard: fall back to steepest descent if the direction is not
+        # a descent direction (stale curvature pairs)
+        descent = jnp.dot(p, grad) < 0.0
+        p = jnp.where(descent, p, -grad)
+        cands = z[None, :] + scales[:, None] * p[None, :]
+        values = jax.vmap(fn_flat)(cands)
+        values = jnp.nan_to_num(values, nan=1e300, posinf=1e300)
+        # the 0.0 scale reproduces f(z): argmin never regresses
+        values = values.at[-1].set(value)
+        best = jnp.argmin(values)
+        z_new = cands[best]
+        v_new, g_new = vg(z_new)
+        s = z_new - z
+        y = g_new - grad
+        sy = jnp.dot(s, y)
+        ok = sy > 1e-12
+        i = k % m
+        S = S.at[i].set(jnp.where(ok, s, S[i]))
+        Y = Y.at[i].set(jnp.where(ok, y, Y[i]))
+        rho = rho.at[i].set(jnp.where(ok, 1.0 / jnp.maximum(sy, 1e-300), rho[i]))
+        k = k + jnp.where(ok, 1, 0)
+        return (z_new, v_new, g_new, S, Y, rho, k), v_new
+
+    v0, g0 = vg(z0)
+    S0 = jnp.zeros((m, d), dtype=z0.dtype)
+    Y0 = jnp.zeros((m, d), dtype=z0.dtype)
+    rho0 = jnp.zeros((m,), dtype=z0.dtype)
+    carry0 = (z0, v0, g0, S0, Y0, rho0, jnp.asarray(0))
+    (z, _, _, _, _, _, _), _ = jax.lax.scan(step, carry0, None, length=steps)
+    return z.reshape(shape)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -164,20 +260,25 @@ def _run_stage(start_diag, start_off, data, off_active: bool, lbfgs_steps: int,
         zo = _lbfgs_scan(lambda z: _off_loss(_sigmoid_to_bounds(z, olb, oub), data),
                          zo, lbfgs_steps)
 
-    # 2. constrained passes via augmented Lagrangian
+    # 2. constrained passes via augmented Lagrangian.  The outer multiplier
+    # updates run as a lax.scan (NOT an unrolled Python loop): one L-BFGS
+    # body in the compiled graph instead of al_outer copies -- the unrolled
+    # form made _run_stage a >25-minute XLA compile on the axon backend.
     def al_minimize(z0, loss_and_cons, n_cons):
-        lam = jnp.zeros(n_cons)
-        mu = jnp.asarray(10.0)
-        z = z0
-        for _ in range(al_outer):
-            def objective(zz, lam=lam, mu=mu):
+        def outer(carry, _):
+            z, lam, mu = carry
+
+            def objective(zz):
                 loss, cons = loss_and_cons(zz)
                 return loss + jnp.sum(lam * cons) + 0.5 * mu * jnp.sum(cons**2)
 
             z = _lbfgs_scan(objective, z, lbfgs_steps)
             _, cons = loss_and_cons(z)
-            lam = lam + mu * cons
-            mu = mu * 4.0
+            return (z, lam + mu * cons, mu * 4.0), None
+
+        (z, _, _), _ = jax.lax.scan(
+            outer, (z0, jnp.zeros(n_cons), jnp.asarray(10.0)), None, length=al_outer
+        )
         return z
 
     # diagonal pass: purity constraint only when the coherence is absent
@@ -260,6 +361,10 @@ class Optimizer:
     off_magnitude: float = 1.0
     lbfgs_steps: int = LBFGS_STEPS
     seed: int = 0
+    #: "cpu" pins the whole ladder to the host (reference-style, fast zoom
+    #: linesearch); "default" runs it on the session backend (TPU: scan-based
+    #: fixed-fan linesearch, one long first compile)
+    device: str = "cpu"
 
     def __post_init__(self):
         self.sigma_r0 = np.asarray(self.sigma_r0, dtype=np.float64)
@@ -318,14 +423,14 @@ class Optimizer:
 
     # -- the main entry (reference Optimization::optimize, opt.cpp:1019) -----------
     def optimize(self, density: Density, extra: Density, surface_energies) -> OptResult:
-        """Runs on the host CPU even when the evolution runs on TPU: the
-        L-BFGS linesearch is a data-dependent while_loop (one device sync per
-        iteration on the axon backend, measured ~10 min per optimize on TPU vs
-        seconds on CPU), and the reference likewise runs NLopt on the host.
-        The point sets involved are tiny (N <= a few thousand), so transfers
-        are negligible."""
+        """Runs on the host CPU by default (``device="cpu"``), where the
+        reference runs NLopt too: the point sets are tiny and the zoom
+        linesearch is cheap in-process, while the axon TPU backend takes tens
+        of minutes to compile the full ladder.  ``device="default"`` keeps
+        the data where it is and uses the scan-based fixed-fan L-BFGS, which
+        jits on TPU with no data-dependent control flow."""
         cpu_devices = jax.local_devices(backend="cpu")
-        if cpu_devices and jax.default_backend() != "cpu":
+        if self.device == "cpu" and cpu_devices and jax.default_backend() != "cpu":
             with jax.default_device(cpu_devices[0]):
                 density = jax.device_put(density, cpu_devices[0])
                 extra = jax.device_put(extra, cpu_devices[0])
@@ -333,7 +438,7 @@ class Optimizer:
                     jnp.asarray(surface_energies), cpu_devices[0]
                 )
                 return self._optimize_impl(density, extra, surface_energies)
-        return self._optimize_impl(density, extra, surface_energies)
+        return self._optimize_impl(density, extra, jnp.asarray(surface_energies))
 
     def _optimize_impl(self, density: Density, extra: Density, surface_energies) -> OptResult:
         data, off_active = self._pack_data(density, extra, surface_energies)

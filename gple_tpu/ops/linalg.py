@@ -27,8 +27,13 @@ import jax
 import jax.numpy as jnp
 
 #: f32 stage iterations (fixed: while_loops cost ~15ms/iteration in sync
-#: overhead on the axon backend, measured 499 vs 67 ms/step)
-NS_F32_MAX_ITERS = 48
+#: overhead on the axon backend, measured 499 vs 67 ms/step).  With the
+#: row-sum-scaled identity start (mu_0 >= lambda_min/||K||_inf, so the
+#: smallest eigenvalue of K X_0 is ~1/kappa instead of the 1/kappa^2 of the
+#: K^T/(||K||_1 ||K||_inf) start) the pre-asymptotic doubling phase needs
+#: ~log2(kappa) iterations: 28 converges to the f32 floor for kappa <= 1e7
+#: (measured 24 suffices on RBF grams; 4 iterations of margin)
+NS_F32_MAX_ITERS = 28
 #: f64 continuation iterations: 4 quadratic steps converge the inverse from
 #: the f32 floor for cond <= ~5e6; at the rare cond ~1e7 optimizer corners the
 #: residual lands at ~0.5 and the refined solves still contract
@@ -85,16 +90,20 @@ def _newton_schulz_inverse(k, f32_iters: int = NS_F32_MAX_ITERS,
                            f64_iters: int = NS_F64_MAX_ITERS):
     """Mixed-precision Newton-Schulz: the TPU production inverse.
 
-    The f32 stage (X0 = K^T / (||K||_1 ||K||_inf): every iterate a polynomial
-    in K, empirically stable where aggressive scalings diverge) does the bulk
-    at MXU speed; the f64 adaptive continuation finishes from wherever f32
-    stopped -- at the usual cond <= 1e5 it runs a handful of iterations, at
-    the cond ~1e7 optimizer corners up to NS_F64_MAX_ITERS.  A NaN guard
-    restarts the continuation from X0 if the f32 stage blew up."""
+    The f32 stage starts from X0 = I / ||K||_inf: for symmetric K the row-sum
+    norm bounds lambda_max, so every eigenvalue of K X0 lies in (0, 1] --
+    always convergent -- and the smallest is lambda_min/||K||_inf ~ 1/kappa,
+    giving a ~log2(kappa)-step pre-asymptotic phase (the older
+    K^T/(||K||_1 ||K||_inf) start squares the small eigenvalues and needed
+    twice the iterations; a power-iteration lambda_max estimate is tighter
+    still but can UNDER-estimate on flat spectra and diverge).  For the RBF
+    grams of this workload (nonnegative entries, near-uniform row sums)
+    ||K||_inf is within a small factor of lambda_max, so the bound is tight.
+    The f64 continuation finishes from the f32 floor (~kappa * eps_f32); a
+    NaN guard restarts it from X0 if the f32 stage blew up."""
     k32 = k.astype(jnp.float32)
-    norm1 = jnp.max(jnp.sum(jnp.abs(k32), axis=0))
     norminf = jnp.max(jnp.sum(jnp.abs(k32), axis=1))
-    x0 = k32.T / (norm1 * norminf)
+    x0 = jnp.eye(k.shape[0], dtype=jnp.float32) / norminf
     x = _ns_scan(k32, x0, f32_iters).astype(k.dtype)
     x = jnp.where(jnp.all(jnp.isfinite(x)), x, x0.astype(k.dtype))
     x = _ns_scan(k, x, f64_iters)
