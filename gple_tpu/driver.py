@@ -387,11 +387,23 @@ class GPLEDriver:
         self.writers.write_phase(
             preds_c[..., 0] + 1.0j * preds_c[..., 1], np.asarray(variances)
         )
+        # per-element label rescale factors in triangular order (00), (10), (11);
+        # NaN for absent elements like the reference (output.cpp:264-292)
+        diag_rescale = np.asarray(gps.diag.rescale)
+        active = np.asarray(gps.active)
+        rescales = np.where(
+            active,
+            [diag_rescale[0], float(gps.offdiag.rescale), diag_rescale[1]],
+            np.nan,
+        )
+        opt_steps = getattr(self.opt_result, "steps", [])
         self.writers.write_log(
             rec.time, getattr(self.opt_result, "error", 0.0),
             [p.num_steps for p in self.mc_params],
             [p.displacement for p in self.mc_params],
             rec.opt_type,
+            rescales=rescales,
+            opt_steps=sum(opt_steps) if isinstance(opt_steps, (list, tuple)) else opt_steps,
         )
 
     # -- full run (main.cpp:132-202) ----------------------------------------------------

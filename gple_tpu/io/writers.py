@@ -121,14 +121,22 @@ class OutputWriters:
         fv.flush()
 
     # -- run.log --------------------------------------------------------------------
-    def write_log(self, t, error, mc_steps, displacements, opt_type, extras=""):
+    def write_log(self, t, error, mc_steps, displacements, opt_type,
+                  rescales=(), opt_steps=0):
+        """Reference field order (output.cpp:235-302): time, wall time since
+        the previous output, MC steps per element, max displacement per
+        element, per-element label rescale factor, optimization error, number
+        of optimization steps, optimization kind, wall-clock timestamp."""
         now = time.time()
         self._files["logging"].write(
             f"{t} {now - self._t_wall:.3f} "
             + " ".join(str(s) for s in mc_steps)
             + " "
             + " ".join(str(d) for d in displacements)
-            + f" {error} {opt_type} {extras}\n"
+            + (" " + " ".join(repr(float(r)) for r in rescales) if len(rescales) else "")
+            + f" {error} {opt_steps} {opt_type} "
+            + time.strftime("%F %T %Z", time.localtime(now))
+            + "\n"
         )
         self._files["logging"].flush()
         self._t_wall = now
