@@ -23,19 +23,14 @@ import time
 
 
 def _setup_jax():
-    import os
-
     import jax
 
     jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: axon AOT compiles are minutes-long for the
     # big fit+evolve graphs; cache them across processes
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from gple_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
 
 def measure(step_fn, args, n_warmup, n_steps):

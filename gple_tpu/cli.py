@@ -55,6 +55,9 @@ def main(argv=None):
     if opts.platform:
         jax.config.update("jax_platforms", opts.platform)
     jax.config.update("jax_enable_x64", True)
+    from gple_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from gple_tpu.config import GPLEConfig
 

@@ -127,6 +127,9 @@ class TickRecord:
 class GPLEDriver:
     def __init__(self, cfg: GPLEConfig, outdir: Optional[str] = None, verbose: bool = False,
                  profile_dir: Optional[str] = None):
+        from gple_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = cfg
         self.verbose = verbose
         self.writers = OutputWriters(outdir) if outdir else None

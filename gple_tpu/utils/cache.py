@@ -1,0 +1,29 @@
+"""Persistent XLA compilation cache.
+
+First compiles of the big jitted graphs (the fused tick, the optimizer ladder,
+the MC tuning scans) cost seconds on CPU and minutes over the axon TPU tunnel.
+The persistent cache amortizes them across processes — the second run of any
+entry point (driver, CLI, bench, parity) starts hot.  The reference has no
+equivalent concern (its C++ is compiled once by make).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at ``cache_dir`` (default:
+    ``<repo>/.jax_cache``, overridable via ``JAX_COMPILATION_CACHE_DIR``).
+    Safe to call multiple times; a no-op on JAX versions without the knobs."""
+    import jax
+
+    target = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
+    try:
+        jax.config.update("jax_compilation_cache_dir", target)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - knob not available
+        pass
