@@ -375,9 +375,12 @@ class GPLEDriver:
         triples.insert(
             1,
             (
-                [1.0, 0.1, *olb, 0.1, *olb, 1e-2],
-                np.concatenate([[float(off_params.magnitude)], off_flat, [1e-2]]),
-                [1.0, 10.0, *oub, 10.0, *oub, 1e-2],
+                [1.0, 0.1, *olb, 0.1, *olb, -0.99, 1e-2],
+                np.concatenate(
+                    [[float(off_params.magnitude)], off_flat[:-1],
+                     [off_flat[-1]], [1e-2]]
+                ),
+                [1.0, 10.0, *oub, 10.0, *oub, 0.99, 1e-2],
             ),
         )
         self.writers.write_param(triples)

@@ -54,6 +54,11 @@ INITIAL_NOISE = 1e-2
 #: sub-kernel magnitude bounds for the complex kernel (opt.cpp:86-87)
 COMPLEX_MAG_LB = 0.1
 COMPLEX_MAG_UB = 10.0
+#: bound on the real-imaginary correlation strength rho (new parameter; the
+#: reference pins rho = 1, which cannot represent quadrature coherences --
+#: see ComplexKernelParams.corr).  Strictly inside (-1, 1) keeps the
+#: augmented system PD rather than merely PSD.
+CORR_BOUND = 0.99
 #: hard floor on characteristic lengths (opt.cpp:397)
 MIN_CHAR_LENGTH = 1.0 / 100.0
 
@@ -98,14 +103,16 @@ def _diag_loss(diag_lengths, data):
 
 
 def _off_state(off_flat, data):
-    d = (off_flat.shape[0] - 2) // 2
+    # off_flat: (m_R, l_R(d), m_I, l_I(d), corr) -- 2d + 3 entries
+    d = (off_flat.shape[0] - 3) // 2
     params = CK.ComplexKernelParams(
         magnitude=jnp.asarray(1.0),
         real_magnitude=off_flat[0],
         real_lengths=off_flat[1 : 1 + d],
         imag_magnitude=off_flat[1 + d],
-        imag_lengths=off_flat[2 + d :],
+        imag_lengths=off_flat[2 + d : 2 + 2 * d],
         noise=jnp.asarray(INITIAL_NOISE),
+        corr=off_flat[-1],
     )
     return CK.fit_complex(params, data["opts"], data["orho"])
 
@@ -370,7 +377,7 @@ class Optimizer:
     purity: float
     sigma_r0: np.ndarray                  # initial characteristic-length guess
     diag_lengths: np.ndarray = None       # (2, PhaseDim)
-    off_params: np.ndarray = None         # (6,): m_R, l_R(2), m_I, l_I(2)
+    off_params: np.ndarray = None         # (7,): m_R, l_R(2), m_I, l_I(2), corr
     diag_magnitudes: np.ndarray = None    # (2,) analytic magnitudes
     off_magnitude: float = 1.0
     lbfgs_steps: int = LBFGS_STEPS
@@ -386,13 +393,20 @@ class Optimizer:
             self.diag_lengths = np.tile(self.sigma_r0, (2, 1))
         if self.off_params is None:
             self.off_params = self._initial_off()
+        elif np.asarray(self.off_params).shape[0] == 2 * len(self.sigma_r0) + 2:
+            # legacy (pre-corr) parameter vector, e.g. from an old checkpoint:
+            # corr = 1 reproduces the reference kernel those params were fit with
+            self.off_params = np.concatenate([np.asarray(self.off_params), [1.0]])
         if self.diag_magnitudes is None:
             self.diag_magnitudes = np.ones(2)
         self._tick = 0
 
     def _initial_off(self):
+        # corr starts at 0 (independent Re/Im): the coherence is a quadrature
+        # field, and 0 is the neutral point of the [-1, 1] range
         return np.concatenate(
-            [[INITIAL_MAGNITUDE], self.sigma_r0, [INITIAL_MAGNITUDE], self.sigma_r0]
+            [[INITIAL_MAGNITUDE], self.sigma_r0, [INITIAL_MAGNITUDE], self.sigma_r0,
+             [0.0]]
         )
 
     # -- bounds from the point cloud (opt.cpp:1026-1052) ---------------------------
@@ -428,9 +442,11 @@ class Optimizer:
             dlb=jnp.asarray(np.stack(dlb)),
             dub=jnp.asarray(np.stack(dub)),
             olb=jnp.concatenate([jnp.asarray([COMPLEX_MAG_LB]), jnp.asarray(olb),
-                                 jnp.asarray([COMPLEX_MAG_LB]), jnp.asarray(olb)]),
+                                 jnp.asarray([COMPLEX_MAG_LB]), jnp.asarray(olb),
+                                 jnp.asarray([-CORR_BOUND])]),
             oub=jnp.concatenate([jnp.asarray([COMPLEX_MAG_UB]), jnp.asarray(oub),
-                                 jnp.asarray([COMPLEX_MAG_UB]), jnp.asarray(oub)]),
+                                 jnp.asarray([COMPLEX_MAG_UB]), jnp.asarray(oub),
+                                 jnp.asarray([CORR_BOUND])]),
             targets=jnp.asarray([1.0, self.total_energy, self.purity]),
         )
         return data, bool(active[OFFDIAG_INDEX])
@@ -485,7 +501,7 @@ class Optimizer:
             return self._finish(res, data)
         gkey = jax.random.PRNGKey(self.seed + self._tick)
         gdiag = np.asarray(_global_candidates(gkey, data))
-        goff = np.concatenate([[1.0], gdiag[0], [1.0], gdiag[0]])
+        goff = np.concatenate([[1.0], gdiag[0], [1.0], gdiag[0], [0.0]])
         res3 = run(*clipped(gdiag, goff), "global")
         res = self._compare(res, res3)
         return self._finish(res, data)
@@ -531,13 +547,14 @@ class Optimizer:
             noise=jnp.full(2, INITIAL_NOISE),
         )
         off = jnp.asarray(self.off_params)
-        d = (off.shape[0] - 2) // 2
+        d = (off.shape[0] - 3) // 2
         off_p = CK.ComplexKernelParams(
             magnitude=jnp.asarray(self.off_magnitude),
             real_magnitude=off[0],
             real_lengths=off[1 : 1 + d],
             imag_magnitude=off[1 + d],
-            imag_lengths=off[2 + d :],
+            imag_lengths=off[2 + d : 2 + 2 * d],
             noise=jnp.asarray(INITIAL_NOISE),
+            corr=off[-1],
         )
         return diag, off_p

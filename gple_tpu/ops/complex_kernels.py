@@ -54,7 +54,19 @@ from gple_tpu.utils.constants import purity_factor
 
 class ComplexKernelParams(NamedTuple):
     """Reference parameter order complex_kernel.cpp:230-255:
-    (global magnitude, (m_R, l_R), (m_I, l_I), noise) -- 2 + 2*(1+PhaseDim) total."""
+    (global magnitude, (m_R, l_R), (m_I, l_I), noise) -- 2 + 2*(1+PhaseDim)
+    reference parameters, plus one NEW parameter ``corr``.
+
+    ``corr`` is the real-imaginary correlation strength rho in [-1, 1].  The
+    reference HARD-WIRES rho = 1 (full correlation, complex_kernel.h:12-13),
+    which makes quadrature fields -- Re and Im out of phase, exactly the
+    structure of the coherence rho_10 = |rho| e^{i theta} with a drifting
+    theta -- unrepresentable: the fixed prior shrinks the anti-correlated
+    component to zero (measured 93% prediction error on real coherence data,
+    3.5% at rho ~ 0).  Making rho a bounded optimizable parameter is a strict
+    generalization: rho = 1 reproduces the reference kernel exactly.  The
+    augmented system stays PSD for |rho| <= 1 since k_C <= sqrt(k_R k_I):
+    |Kt|^2 = (k_R - k_I)^2 + 4 rho^2 k_C^2 <= (k_R + k_I)^2 = K^2."""
 
     magnitude: jnp.ndarray      # scalar global sigma
     real_magnitude: jnp.ndarray
@@ -62,6 +74,7 @@ class ComplexKernelParams(NamedTuple):
     imag_magnitude: jnp.ndarray
     imag_lengths: jnp.ndarray   # (PhaseDim,)
     noise: jnp.ndarray          # scalar
+    corr: jnp.ndarray = 1.0     # scalar rho in [-1, 1]; 1 = reference kernel
 
     def to_flat(self) -> jnp.ndarray:
         return jnp.concatenate(
@@ -72,20 +85,22 @@ class ComplexKernelParams(NamedTuple):
                 jnp.atleast_1d(self.imag_magnitude),
                 self.imag_lengths,
                 jnp.atleast_1d(self.noise),
+                jnp.atleast_1d(self.corr),
             ],
             axis=-1,
         )
 
     @classmethod
     def from_flat(cls, flat: jnp.ndarray) -> "ComplexKernelParams":
-        d = (flat.shape[-1] - 4) // 2
+        d = (flat.shape[-1] - 5) // 2
         return cls(
             magnitude=flat[..., 0],
             real_magnitude=flat[..., 1],
             real_lengths=flat[..., 2 : 2 + d],
             imag_magnitude=flat[..., 2 + d],
             imag_lengths=flat[..., 3 + d : 3 + 2 * d],
-            noise=flat[..., -1],
+            noise=flat[..., -2],
+            corr=flat[..., -1],
         )
 
 
@@ -111,7 +126,7 @@ def covariance_matrices(p: ComplexKernelParams, xa, xb, same: bool):
     noise = p.noise**2 * jnp.eye(xa.shape[-2], dtype=kr.dtype) if same else 0.0
     k = p.magnitude**2 * (kr + ki + noise)
     kt_re = p.magnitude**2 * (kr - ki)
-    kt_im = p.magnitude**2 * 2.0 * kc
+    kt_im = p.magnitude**2 * 2.0 * p.corr * kc
     return k, kt_re, kt_im
 
 
@@ -280,9 +295,12 @@ def purity_complex(state: ComplexTrainState) -> jnp.ndarray:
     kcp = aux_gram(*_aux_self(cm, cl))
     krc = aux_gram(*_aux_mixed(p.real_magnitude, p.real_lengths, cm, cl))
     kic = aux_gram(*_aux_mixed(p.imag_magnitude, p.imag_lengths, cm, cl))
-    k1 = krp + kip + 2.0 * kcp
+    # terms quadratic in the correlation kernel scale as corr^2, linear as
+    # corr (the R-I cross-overlap terms cancel between |K_*|^2 and |Kt_*|^2,
+    # so K1 carries only the corr^2 C' term); corr = 1 is the reference form
+    k1 = krp + kip + 2.0 * p.corr**2 * kcp
     k2_re = krp - kip
-    k2_im = -2.0 * (krc + kic)
+    k2_im = -2.0 * p.corr * (krc + kic)
     a, b = state.v[..., 0], state.v[..., 1]
     # Re(v^H K1 v), K1 real symmetric
     quad1 = a @ (k1 @ a) + b @ (k1 @ b)

@@ -40,7 +40,8 @@ def default_params(mag=1.0, mr=1.0, mi=0.8, noise=0.01):
 def test_flat_roundtrip():
     p = default_params()
     flat = p.to_flat()
-    assert flat.shape == (8,)  # 1 + 2*(1+2) + 1 (complex_kernel.h:18-22)
+    # 1 + 2*(1+2) + 1 reference params (complex_kernel.h:18-22) + corr
+    assert flat.shape == (9,)
     p2 = CK.ComplexKernelParams.from_flat(flat)
     for a, b in zip(p, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
@@ -139,7 +140,7 @@ def test_loss_gradient_finite():
     assert np.all(np.isfinite(g))
     # spot-check one finite difference (real characteristic length 0)
     i = 2
-    dv = np.zeros(8); dv[i] = 1e-6
+    dv = np.zeros(9); dv[i] = 1e-6
     num = (float(loss(flat0 + dv)) - float(loss(flat0 - dv))) / 2e-6
     assert g[i] == pytest.approx(num, rel=5e-4, abs=1e-7)
 
