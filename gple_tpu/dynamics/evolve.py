@@ -157,8 +157,11 @@ def backward_predict(
     rho_flat = dist_fn(dist_params, query)                            # (3, 3M, 2)
     rho_pred = rho_flat.reshape(NUM_ELEMENTS, -1, 3, 2)               # (3, M, 3br, 2)
     if rho_old is not None:
-        # the exact element keeps its known density on the static branch
-        rho_pred = rho_pred.at[source_elem, :, 1, :].set(rho_old)
+        # control variate: exact carried value + GP branch differences
+        # (see evolve_step; reference pins only the static branch,
+        # evolve.cpp:292-296)
+        diff = rho_pred[source_elem] - rho_pred[source_elem, :, 1:2, :]
+        rho_pred = rho_pred.at[source_elem].set(rho_old[:, None, :] + diff)
 
     # adiabatic phase on the off-diagonal component from (x4 -> x2)
     theta = omega0(model, x2[:, None], x4[OFFDIAG_INDEX], 0, 1) * dt / 2.0
@@ -294,9 +297,19 @@ def evolve_step(
     rho_pred = rho_all[:, : 9 * n].reshape(NUM_ELEMENTS, NUM_ELEMENTS, n, 3, 2)
     rho_at_old = rho_all[:, 9 * n :]                                  # (3, N, 2)
 
-    # the exact element keeps its known density on its own static branch
+    # Control variate on each source's own element: the reference only pins
+    # the static (n = 0) branch to the exactly-known carried value
+    # (evolve.cpp:292-296), so the +-1 branches -- which carry the ENTIRE
+    # real part of the coherence through the recombination -- pass through
+    # the GP every tick, and the fit's ~1%/tick contraction decays it until
+    # generation balances leak (measured: Tully-A transfer saturates at half
+    # the exact value).  Re-centering all three branches on the exact value
+    # plus the GP branch DIFFERENCE keeps the carried value exact while the
+    # GP supplies only the small finite-difference correction; for constant
+    # fields this is identical to the reference.
     for s in range(NUM_ELEMENTS):
-        rho_pred = rho_pred.at[s, s, :, 1, :].set(density.rho[s])
+        diff = rho_pred[s, s] - rho_pred[s, s, :, 1:2, :]
+        rho_pred = rho_pred.at[s, s].set(density.rho[s][:, None, :] + diff)
 
     # adiabatic phase on the off-diagonal target component from (x4 -> x2)
     theta = omega0(model, x2[:, :, None], x4[:, OFFDIAG_INDEX], 0, 1) * dt / 2.0
