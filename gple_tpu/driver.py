@@ -58,11 +58,24 @@ def gp_dist_all(gps: GPStates, pts3):
     return jnp.stack([predict_element(gps, k, pts3[k]) for k in range(NUM_ELEMENTS)])
 
 
-def _gp_dist_elem(gps: GPStates, pts, *, elem: int):
-    return predict_element(gps, elem, pts)
+def gp_dist_all_nocut(gps: GPStates, pts3):
+    """Raw-mean GP predictions, no cutoff: the default EVOLUTION distribution.
+    The reference evolves with the cutoff applied (main.cpp:75-101), which
+    zeroes the coherence's spatial tails every tick (~1-2%/tick integral
+    leak); see GPLEConfig.evolve_cutoff."""
+    return jnp.stack(
+        [predict_element(gps, k, pts3[k], with_variance=False) for k in range(NUM_ELEMENTS)]
+    )
+
+
+def _gp_dist_elem(gps: GPStates, pts, *, elem: int, cutoff: bool = True):
+    return predict_element(gps, elem, pts, with_variance=cutoff)
 
 
 GP_DIST_ELEMS = tuple(partial(_gp_dist_elem, elem=k) for k in range(NUM_ELEMENTS))
+GP_DIST_ELEMS_NOCUT = tuple(
+    partial(_gp_dist_elem, elem=k, cutoff=False) for k in range(NUM_ELEMENTS)
+)
 
 
 def _init_dist_elem(params, pts, *, elem: int):
@@ -78,19 +91,54 @@ def init_dist_all(params, pts3):
     return jnp.stack([INIT_DIST_ELEMS[k](params, pts3[k]) for k in range(NUM_ELEMENTS)])
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8))
 def _tick_fused(model: str, mass: float, dt: float, density: Density,
-                extra: Density, gps: GPStates, diag_params, off_params):
+                extra: Density, gps: GPStates, diag_params, off_params,
+                evolve_dist=gp_dist_all_nocut):
     """One tick's device work in ONE dispatch: evolve density + extra points,
     the is-very-small test, the GP refactorization from the moved points, and
     the drift-check scalars.  The per-tick host loop then costs a single
     round-trip over the device tunnel instead of six (the reference does the
-    same work in one process, main.cpp:135-190)."""
-    new_density = EV.evolve_step(model, mass, dt, density, gp_dist_all, gps)
-    new_extra = EV.evolve_step(model, mass, dt, extra, gp_dist_all, gps)
+    same work in one process, main.cpp:135-190).
+
+    ``evolve_dist`` feeds the trajectory dynamics (no cutoff by default, see
+    GPLEConfig.evolve_cutoff); the is-very-small activation test always uses
+    the cutoff distribution for noise robustness (evolve.cpp:445-478)."""
+    new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
+    new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
     small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
     new_gps = fit_gp_states(diag_params, off_params, new_density)
-    return new_density, new_extra, small, new_gps, new_gps.population(), new_gps.purity()
+    mc_purity = jnp.sum(OBS.purity_each_element(new_density))
+    return (new_density, new_extra, small, new_gps, new_gps.population(),
+            new_gps.purity(), mc_purity)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9))
+def _ticks_scan(model: str, mass: float, dt: float, density: Density,
+                extra: Density, gps: GPStates, diag_params, off_params,
+                n_ticks: int, evolve_dist=gp_dist_all_nocut):
+    """A whole CHUNK of ticks in ONE dispatch: ``lax.scan`` over
+    evolve+refit, carrying (density, extra, gps).  Per-tick activation flags
+    are stacked out so the host can detect an element change mid-chunk and
+    fall back to the tick-by-tick path (rare).  This is the scan-over-ticks
+    form SURVEY.md section 7 calls for: on the remote TPU backend a per-tick
+    dispatch costs ~0.2 s of tunnel latency, so chunking is a ~10x wall-time
+    lever for full trajectories."""
+
+    def body(carry, _):
+        density, extra, gps = carry
+        new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
+        new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
+        small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
+        new_gps = fit_gp_states(diag_params, off_params, new_density)
+        return (new_density, new_extra, new_gps), small
+
+    (density, extra, gps), smalls = jax.lax.scan(
+        body, (density, extra, gps), None, length=n_ticks
+    )
+    mc_purity = jnp.sum(OBS.purity_each_element(density))
+    return (density, extra, gps, smalls, gps.population(), gps.purity(),
+            mc_purity)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -157,8 +205,9 @@ class GPLEDriver:
 
     def _new_point_dist(self, params, pts, *, elem: int):
         gps = params
+        dist = gp_dist_all if self.cfg.evolve_cutoff else gp_dist_all_nocut
         return EV.predict_new_points(
-            self.cfg.model, self.cfg.mass, self.cfg.dt, pts, elem, gp_dist_all, gps
+            self.cfg.model, self.cfg.mass, self.cfg.dt, pts, elem, dist, gps
         )
 
     # -- initialization (main.cpp:25-73) ------------------------------------------
@@ -235,6 +284,56 @@ class GPLEDriver:
         diag_params, off_params = self.optimizer.fitted_params()
         return fit_gp_states(diag_params, off_params, density)
 
+    # -- a chunk of pure evolve ticks in one dispatch -------------------------------
+    def _advance_chunk(self, n_ticks: int) -> bool:
+        """Advance ``n_ticks`` ticks with ONE ``_ticks_scan`` dispatch.
+
+        Returns False (state untouched) if an element activated mid-chunk --
+        the caller then replays the chunk tick-by-tick through :meth:`step`.
+        A conservation-drift check runs at the chunk end (the per-tick checks
+        of the reference, main.cpp:174-189, at chunk granularity)."""
+        import time as _time
+
+        cfg = self.cfg
+        t0 = _time.perf_counter()
+        diag_params, off_params = self.optimizer.fitted_params()
+        evolve_dist = gp_dist_all if cfg.evolve_cutoff else gp_dist_all_nocut
+        density, extra, gps, smalls, pop, pur, mc_pur = _ticks_scan(
+            cfg.model, cfg.mass, cfg.dt, self.density, self.extra, self.gps,
+            diag_params, off_params, n_ticks, evolve_dist,
+        )
+        smalls = np.asarray(smalls)
+        active = np.asarray(self.density.active)
+        if np.any((~smalls) != active[None, :]):
+            return False
+        self.phase_times["evolve"] += _time.perf_counter() - t0
+        self.density, self.extra, self.gps = density, extra, gps
+        measured_purity = float(mc_pur) * purity_factor(cfg.dim) * self.purity_ratio
+        target_purity = (
+            measured_purity if cfg.purity_target == "measured" else self.purity
+        )
+        tol = 2.0 * AVERAGE_TOLERANCE
+        pop, pur = float(pop), float(pur)
+        if pur > (1.0 + tol) * target_purity or not (1.0 - tol < pop < 1.0 + tol):
+            self._reoptimize(target_purity)
+        return True
+
+    def _reoptimize(self, target_purity: float) -> str:
+        import time as _time
+
+        cfg = self.cfg
+        t0 = _time.perf_counter()
+        density = self._track_clouds(self.density)
+        self.density = density
+        energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
+        self.optimizer.purity = target_purity
+        self.opt_result = self.optimizer.optimize(density, self.extra, energies)
+        self.gps = self._refit(density)
+        dist_elems = GP_DIST_ELEMS if cfg.evolve_cutoff else GP_DIST_ELEMS_NOCUT
+        self.extra = self._make_extra(density, dist_elems, self.gps)
+        self.phase_times["optimize"] += _time.perf_counter() - t0
+        return self.opt_result.opt_type
+
     # -- one tick (main.cpp:135-202) ------------------------------------------------
     def step(self, tick: int) -> str:
         import time as _time
@@ -243,9 +342,10 @@ class GPLEDriver:
         gps = self.gps
         t0 = _time.perf_counter()
         diag_params, off_params = self.optimizer.fitted_params()
-        density, extra, small, new_gps, pop, pur = _tick_fused(
+        evolve_dist = gp_dist_all if cfg.evolve_cutoff else gp_dist_all_nocut
+        density, extra, small, new_gps, pop, pur, mc_pur = _tick_fused(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, gps,
-            diag_params, off_params,
+            diag_params, off_params, evolve_dist,
         )
         small = np.asarray(small)
         self.phase_times["evolve"] += _time.perf_counter() - t0
@@ -255,6 +355,12 @@ class GPLEDriver:
         changed = bool(np.any(new_active != old_active))
         if changed:
             density, extra = self._element_change(density, extra, old_active, new_active)
+        # the purity the constrained optimizer pins the GP integrals to
+        # (see GPLEConfig.purity_target)
+        measured_purity = float(mc_pur) * purity_factor(cfg.dim) * self.purity_ratio
+        target_purity = (
+            measured_purity if cfg.purity_target == "measured" else self.purity
+        )
         needs_opt = changed or (tick % cfg.reopt_freq == 0)
         if not needs_opt:
             # drift check with the refitted states (main.cpp:174-189)
@@ -265,19 +371,62 @@ class GPLEDriver:
             pur = float(pur)
             self.phase_times["refit"] += _time.perf_counter() - t0
             tol = 2.0 * AVERAGE_TOLERANCE
-            if pur > (1.0 + tol) * self.purity or not (1.0 - tol < pop < 1.0 + tol):
+            if pur > (1.0 + tol) * target_purity or not (1.0 - tol < pop < 1.0 + tol):
                 needs_opt = True
                 opt_type = "drift"
         if needs_opt:
-            t0 = _time.perf_counter()
             self.density, self.extra = density, extra
-            energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
-            self.opt_result = self.optimizer.optimize(density, extra, energies)
-            self.gps = self._refit(density)
-            self.extra = self._make_extra(density, GP_DIST_ELEMS, self.gps)
-            opt_type = self.opt_result.opt_type if opt_type == "none" else opt_type
-            self.phase_times["optimize"] += _time.perf_counter() - t0
+            reopt_type = self._reoptimize(target_purity)
+            opt_type = reopt_type if opt_type == "none" else opt_type
         return opt_type
+
+    def _track_clouds(self, density: Density) -> Density:
+        """Re-select an element's points from its CURRENT GP density when the
+        cloud has drifted off its own mass.
+
+        Points move on classical trajectories of their own surface, but the
+        density they carry can migrate elsewhere in phase space -- the
+        transferred upper-surface density sits ~2 sigma BELOW the seeded
+        points' momenta on Tully A (the physical momentum jump has no
+        trajectory counterpart), so the fixed cloud ends up sampling a tail
+        and the fit never sees the peak.  When the |rho|-weighted mean of the
+        labels deviates from the cloud mean by more than half a cloud sigma,
+        walk the points to the current predicted density with the tuned
+        Metropolis kernel (the reference's mid-run seeding machinery,
+        mc.cpp:407-537, applied on drift rather than only on activation)."""
+        pts = np.array(density.points)   # mutable copies
+        rho = np.array(density.rho)
+        changed = False
+        for k in range(NUM_ELEMENTS):
+            if not bool(density.active[k]):
+                continue
+            w = np.abs(rho[k, :, 0] + 1j * rho[k, :, 1])
+            if w.sum() <= 0:
+                continue
+            com = (pts[k] * w[:, None]).sum(axis=0) / w.sum()
+            mean = pts[k].mean(axis=0)
+            std = np.maximum(pts[k].std(axis=0), 1e-10)
+            if np.max(np.abs(com - mean) / std) <= 0.5:
+                continue
+            self._log(f"element {ELEMENTS[k]} cloud re-selected (drift "
+                      f"{np.abs(com - mean) / std})")
+            # the Metropolis target is the backward-branching predictor, not
+            # the element's own GP: it derives the density from the coherence
+            # and the diagonals at branch points, so it has support where the
+            # transferred mass lands even though the element's own fit has
+            # never sampled there (the reference labels fresh points the same
+            # way, new_point_predict at mc.cpp:497-517)
+            p, r, self.mc_params[k] = mc.element_monte_carlo(
+                self._split(), self._new_pt_dists[k], self.gps,
+                density.points[k], self.mc_params[k], tune=False,
+            )
+            pts[k], rho[k] = np.asarray(p), np.asarray(r)
+            changed = True
+        if not changed:
+            return density
+        return Density(
+            points=jnp.asarray(pts), rho=jnp.asarray(rho), active=density.active
+        )
 
     def _element_change(self, density, extra, old_active, new_active):
         """new_element_point_selection (mc.cpp:407-537)."""
@@ -431,8 +580,32 @@ class GPLEDriver:
             self.observe(0, self.opt_result.opt_type)
             start_tick = 1
         total = cfg.total_ticks if max_ticks is None else min(cfg.total_ticks, max_ticks)
+
+        def next_multiple(t: int, k: int) -> int:
+            return ((t + k - 1) // k) * k if k else total
+
         try:
-            for tick in range(start_tick, total + 1):
+            tick = start_tick
+            while tick <= total:
+                # the next tick where the host must intervene: scheduled
+                # reopt, output, or checkpoint; everything before it is pure
+                # device work and runs as one scanned chunk
+                boundary = min(
+                    next_multiple(tick, cfg.reopt_freq),
+                    next_multiple(tick, cfg.output_freq),
+                    next_multiple(tick, checkpoint_every)
+                    if (checkpoint_path and checkpoint_every) else total,
+                    total,
+                )
+                n_pre = boundary - tick
+                if n_pre > 0 and self._advance_chunk(n_pre):
+                    tick = boundary
+                else:
+                    # element changed mid-chunk (or nothing to chunk):
+                    # tick-by-tick replay up to the boundary
+                    for t in range(tick, boundary):
+                        self.step(t)
+                    tick = boundary
                 opt_type = self.step(tick)
                 if checkpoint_path and checkpoint_every and tick % checkpoint_every == 0:
                     ckpt.save_checkpoint(checkpoint_path, self, tick)
@@ -447,6 +620,7 @@ class GPLEDriver:
                     if rec.x_average > -cfg.x0:
                         self._log("wavepacket has left the interaction region")
                         break
+                tick += 1
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()
