@@ -51,6 +51,22 @@ class GPLEConfig:
     #: half the steps reach the same loss in half the wall time)
     opt_steps_initial: int = 60
     opt_steps_reopt: int = 30
+    #: Apply the 1-2 sigma smoothstep cutoff to GP predictions INSIDE the
+    #: evolution loop (the reference does, main.cpp:75-101).  Off by default:
+    #: the cutoff zeroes the spatial tails of the coherence every tick, a
+    #: measured ~1-2%/tick leak that saturates Tully-A population transfer at
+    #: ~1/30 of the exact value; without it the transfer tracks the exact
+    #: grid-MQCLE solution.  The cutoff still guards element activation
+    #: (is_very_small) and the output grids.
+    evolve_cutoff: bool = False
+    #: Purity target of the constrained re-optimizations: "measured" pins the
+    #: GP-integral purity to the CURRENT Monte-Carlo point-sum purity (a fit-
+    #: fidelity constraint); "initial" pins it to the t=0 purity like the
+    #: reference (opt.cpp:1019, main.cpp:65).  "initial" actively distorts the
+    #: coherence fit whenever the point dynamics is imperfect: early in the
+    #: crossing it pumps the coherence to fill the purity budget, later it
+    #: clips the growing coherence back (both observed on Tully A).
+    purity_target: str = "measured"
 
     # -- derived quantities (reference input.cpp:25-77) -----------------------
     @property
