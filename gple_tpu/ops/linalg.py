@@ -46,14 +46,20 @@ def _ns_scan(k, x, iters: int):
     """Plain (one-sided) Newton-Schulz scan.  Deliberately NOT re-symmetrized:
     in f32 the symmetrization mixes rounding noise between the left- and
     right-inverse subspaces and triggers earlier divergence; the one-sided
-    iterate keeps K X ~ I, which is all the f64 continuation needs."""
-    eye2 = 2.0 * jnp.eye(k.shape[0], dtype=k.dtype)
+    iterate keeps K X ~ I, which is all the f64 continuation needs.
 
-    def body(x, _):
-        return x @ (eye2 - k @ x), None
+    Matmuls run at HIGHEST precision: the TPU's default f32 matmul uses
+    bf16-based passes whose rounding floor (~1e-3 relative at these
+    conditionings) the f64 continuation cannot recover from -- measured as a
+    0.8% population error on otherwise exact fits."""
+    with jax.default_matmul_precision("highest"):
+        eye2 = 2.0 * jnp.eye(k.shape[0], dtype=k.dtype)
 
-    x, _ = jax.lax.scan(body, x, None, length=iters)
-    return x
+        def body(x, _):
+            return x @ (eye2 - k @ x), None
+
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return x
 
 
 def _ns_adaptive(k, x0, max_iters: int, tol: float, stall: float):
@@ -121,15 +127,16 @@ def triangular_inverse_lower(low):
     of two matmuls each: EXACT, ~20 matmuls at N = 1024, no triangular_solve
     (whose XLA:TPU lowering compile-hangs at these sizes)."""
     n = low.shape[-1]
-    d = jnp.diagonal(low, axis1=-2, axis2=-1)
-    v = -(low / d[..., :, None] - jnp.eye(n, dtype=low.dtype))
-    acc = jnp.eye(n, dtype=low.dtype) + v
-    p = v
-    levels = max(1, (n - 1).bit_length() - 1)
-    for _ in range(levels):
-        p = p @ p
-        acc = acc + acc @ p
-    return acc / d[..., None, :]
+    with jax.default_matmul_precision("highest"):
+        d = jnp.diagonal(low, axis1=-2, axis2=-1)
+        v = -(low / d[..., :, None] - jnp.eye(n, dtype=low.dtype))
+        acc = jnp.eye(n, dtype=low.dtype) + v
+        p = v
+        levels = max(1, (n - 1).bit_length() - 1)
+        for _ in range(levels):
+            p = p @ p
+            acc = acc + acc @ p
+        return acc / d[..., None, :]
 
 
 def _chol_matmul_inverse(k):
@@ -172,8 +179,11 @@ def _psd_inverse_jvp(primals, tangents):
 
 def refine_solve(kinv, k, y, iters: int = 5):
     """Iterative refinement of x = K^-1 y given an approximate inverse:
-    x += X (y - K x).  f64 O(N^2) per step; error shrinks by ||I - K X||."""
-    x = kinv @ y
-    for _ in range(iters):
-        x = x + kinv @ (y - k @ x)
-    return x
+    x += X (y - K x).  f64 O(N^2) per step; error shrinks by ||I - K X||.
+    HIGHEST matmul precision: the residual y - K x must be computed at full
+    f64, or the refinement floor is the matmul rounding, not eps."""
+    with jax.default_matmul_precision("highest"):
+        x = kinv @ y
+        for _ in range(iters):
+            x = x + kinv @ (y - k @ x)
+        return x
