@@ -81,7 +81,7 @@ def _sigmoid_to_bounds(z, lb, ub):
 
 
 def _bounds_to_sigmoid(theta, lb, ub):
-    frac = jnp.clip((theta - lb) / jnp.maximum(ub - lb, 1e-300), 1e-6, 1.0 - 1e-6)
+    frac = jnp.clip((theta - lb) / jnp.maximum(ub - lb, 1e-30), 1e-6, 1.0 - 1e-6)
     return jnp.log(frac) - jnp.log1p(-frac)
 
 
@@ -98,7 +98,7 @@ def _diag_loss(diag_lengths, data):
     states = _diag_states(diag_lengths, data)
     loo = jax.vmap(RK.loocv_error)(states)
     extra = jax.vmap(RK.extra_set_error)(states, data["depts"], data["derho"])
-    per_elem = jnp.nan_to_num(loo + extra, nan=1e300, posinf=1e300)
+    per_elem = jnp.nan_to_num(loo + extra, nan=1e30, posinf=1e30)
     return jnp.sum(per_elem * data["dmask"])
 
 
@@ -122,7 +122,7 @@ def _off_loss(off_flat, data):
     loss = CK.loocv_error_complex(state) + CK.extra_set_error_complex(
         state, data["oepts"], data["oerho"]
     )
-    return jnp.nan_to_num(loss, nan=1e300, posinf=1e300) * data["omask"]
+    return jnp.nan_to_num(loss, nan=1e30, posinf=1e30) * data["omask"]
 
 
 def _raw_averages(diag_lengths, off_flat, data, with_off: bool):
@@ -147,7 +147,7 @@ LINESEARCH_SCALES = tuple(2.0**k for k in range(-9, 2, 2)) + (1.0,)
 
 
 def _lbfgs_scan(fn, z0, steps: int):
-    """Backend-adaptive bounded L-BFGS inner solver.
+    """Platform-adaptive bounded L-BFGS inner solver.
 
     On CPU (where the optimizer runs by default, like the reference's NLopt,
     opt.cpp:1019) this is optax's zoom-linesearch L-BFGS: the data-dependent
@@ -156,10 +156,18 @@ def _lbfgs_scan(fn, z0, steps: int):
     device sync per iteration over the axon tunnel, so the linesearch becomes
     a FIXED fan of candidate steps evaluated in one ``vmap`` (batched GP fits
     on the MXU) -- no data-dependent control flow anywhere.
+
+    Dispatch is ``lax.platform_dependent``, resolved at LOWERING time for the
+    platform the ladder actually runs on -- ``jax.default_backend()`` does not
+    see ``jax.default_device(cpu)`` contexts (Optimizer.device='cpu' on a TPU
+    session previously fell through to the fixed-fan path, ~7 serialized host
+    loss evaluations per step instead of zoom's 2-3).
     """
-    if jax.default_backend() == "cpu":
-        return _lbfgs_zoom(fn, z0, steps)
-    return _lbfgs_fixed_fan(fn, z0, steps)
+    return jax.lax.platform_dependent(
+        z0,
+        cpu=lambda z: _lbfgs_zoom(fn, z, steps),
+        default=lambda z: _lbfgs_fixed_fan(fn, z, steps),
+    )
 
 
 def _lbfgs_zoom(fn, z0, steps: int):
@@ -197,7 +205,7 @@ def _lbfgs_fixed_fan(fn, z0, steps: int):
 
     def vg(z):
         value, grad = jax.value_and_grad(fn_flat)(z)
-        return jnp.nan_to_num(value, nan=1e300, posinf=1e300), jnp.nan_to_num(grad)
+        return jnp.nan_to_num(value, nan=1e30, posinf=1e30), jnp.nan_to_num(grad)
 
     def direction(g, S, Y, rho, k):
         """Two-loop recursion over the circular (S, Y) history."""
@@ -212,7 +220,7 @@ def _lbfgs_fixed_fan(fn, z0, steps: int):
         i_last = (k - 1) % m
         sy = jnp.dot(S[i_last], Y[i_last])
         yy = jnp.dot(Y[i_last], Y[i_last])
-        gamma = jnp.where((k > 0) & (sy > 0.0) & (yy > 0.0), sy / jnp.maximum(yy, 1e-300), 1.0)
+        gamma = jnp.where((k > 0) & (sy > 0.0) & (yy > 0.0), sy / jnp.maximum(yy, 1e-30), 1.0)
         r = gamma * q
         for i, valid, a in reversed(alphas):   # oldest to newest
             b = jnp.where(valid, rho[i] * jnp.dot(Y[i], r), 0.0)
@@ -228,7 +236,7 @@ def _lbfgs_fixed_fan(fn, z0, steps: int):
         p = jnp.where(descent, p, -grad)
         cands = z[None, :] + scales[:, None] * p[None, :]
         values = jax.vmap(fn_flat)(cands)
-        values = jnp.nan_to_num(values, nan=1e300, posinf=1e300)
+        values = jnp.nan_to_num(values, nan=1e30, posinf=1e30)
         # the 0.0 scale reproduces f(z): argmin never regresses
         values = values.at[-1].set(value)
         best = jnp.argmin(values)
@@ -241,7 +249,7 @@ def _lbfgs_fixed_fan(fn, z0, steps: int):
         i = k % m
         S = S.at[i].set(jnp.where(ok, s, S[i]))
         Y = Y.at[i].set(jnp.where(ok, y, Y[i]))
-        rho = rho.at[i].set(jnp.where(ok, 1.0 / jnp.maximum(sy, 1e-300), rho[i]))
+        rho = rho.at[i].set(jnp.where(ok, 1.0 / jnp.maximum(sy, 1e-30), rho[i]))
         k = k + jnp.where(ok, 1, 0)
         return (z_new, v_new, g_new, S, Y, rho, k), v_new
 

@@ -29,7 +29,7 @@ quantity here is a trailing-axis-2 float64 RI array (see
 pair of float64 matrices; all O(N^3)/O(M N^2) contractions are real dots that
 map straight onto the MXU.  The Hermitian Schur inverse comes from the real
 N x N block identity Re(P) = (A + B A^-1 B)^-1, Im(P) = -A^-1 B Re(P), and
-prediction-path matmuls run in float32 (see kernels.predict_dtype).  As with
+prediction-path matmuls run in float32 (see kernels.predict_impl).  As with
 the real kernel,
 the reference's hand-derived gradients (complex_kernel.cpp:379-590) are
 replaced by ``jax.grad``.
@@ -144,42 +144,49 @@ class ComplexTrainState(NamedTuple):
 
 def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainState:
     """Factorize the augmented training system (TrainingComplexKernel ctor,
-    complex_kernel.cpp:221-268).  ``labels`` is (N, 2) RI."""
-    from gple_tpu.ops.kernels import predict_dtype
+    complex_kernel.cpp:221-268).  ``labels`` is (N, 2) RI.
+
+    The augmented complex system [[K, Kt], [Kt*, K]] (K real symmetric,
+    Kt = R + iC complex symmetric) is solved through its exact REAL
+    symmetric-positive-definite embedding
+
+        M = [[K + R, C], [C, K - R]]   (2N x 2N),
+
+    obtained by splitting v = a + ib, y = c + id:  M [a; b] = [c; d].  One
+    mixed-precision ``psd_inverse`` of M replaces the former f32 Schur-block
+    chain P = (K - Kt K^-1 Kt*)^-1: that chain subtracts O(1) matrices that
+    cancel to O(noise^2) whenever corr -> +-1 with matched Re/Im kernels
+    (there K+R and K-R stay benign but the Schur complement collapses), so in
+    f32 the computed Schur block was pure rounding noise and the refined
+    solve diverged (v ~ 1e24 -- the round-1 headline-bench NaN).  M has no
+    cancellation anywhere: its conditioning IS the augmented system's.
+
+    P and Q (the reference's upper/lower-left inverse blocks,
+    complex_kernel.cpp:264-268) map linearly from W = M^-1:
+
+        P = [(W11 + W22) + i (W21 - W12)] / 2
+        Q = [(W11 - W22) - i (W21 + W12)] / 2
+    """
     from gple_tpu.ops.linalg import psd_inverse
 
     labels = jnp.asarray(labels)
-    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-300)
+    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-30)
     y = labels * rescale
+    n = features.shape[-2]
     k64, kt_re64, kt_im64 = covariance_matrices(params, features, features, same=True)
-    # the O(N^3) block chain runs at predict precision (f32 on TPU): P/Q only
-    # serve as LOOCV/variance estimators and as the preconditioner of the
-    # f64-refined augmented solve for v below
-    dt_p = predict_dtype()
-    k = k64.astype(dt_p)
-    kt_re, kt_im = kt_re64.astype(dt_p), kt_im64.astype(dt_p)
-    kinv = psd_inverse(k)
-    # T = K^-1 conj(Kt)
-    t_re = kinv @ kt_re
-    t_im = -(kinv @ kt_im)
-    # Schur = K - Kt T = A + iB (Hermitian: A symmetric, B antisymmetric)
-    a = k - (kt_re @ t_re - kt_im @ t_im)
-    b = -(kt_re @ t_im + kt_im @ t_re)
-    a = 0.5 * (a + a.T)
-    b = 0.5 * (b - b.T)
-    # P = Schur^-1 from real N x N blocks: for Hermitian PD S = A + iB,
-    #   Re(P) = (A + B A^-1 B)^-1   (SPD),   Im(P) = -A^-1 B Re(P)
-    # -- two N-sized inversions instead of one 2N x 2N embedding (4x cheaper)
-    a_inv = psd_inverse(a)
-    ainv_b = a_inv @ b
-    p_re = psd_inverse(a + b @ ainv_b)
+    m = jnp.block([[k64 + kt_re64, kt_im64], [kt_im64, k64 - kt_re64]])
+    w = psd_inverse(m)
+    w11, w12 = w[:n, :n], w[:n, n:]
+    w21, w22 = w[n:, :n], w[n:, n:]
+    p_re = 0.5 * (w11 + w22)
+    p_im = 0.5 * (w21 - w12)
+    q_re = 0.5 * (w11 - w22)
+    q_im = -0.5 * (w21 + w12)
+    # enforce the exact symmetries (P Hermitian, Q complex symmetric)
     p_re = 0.5 * (p_re + p_re.T)
-    p_im = -(ainv_b @ p_re)
     p_im = 0.5 * (p_im - p_im.T)
-    # Q = -T P
-    q_re, q_im = ri.matmul(-t_re, -t_im, p_re, p_im)
-    p_re, p_im = p_re.astype(jnp.float64), p_im.astype(jnp.float64)
-    q_re, q_im = q_re.astype(jnp.float64), q_im.astype(jnp.float64)
+    q_re = 0.5 * (q_re + q_re.T)
+    q_im = 0.5 * (q_im + q_im.T)
 
     # v = P y + conj(Q y), with f64 iterative refinement against the
     # augmented system [[K, Kt], [Kt*, K*]] [v; v*] = [y; y*]
@@ -190,7 +197,7 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
         return ri.rmatvec(k64, vv) + ri.matvec(kt_re64, kt_im64, ri.conj(vv))
 
     v = apply_augmented_inverse(y)
-    for _ in range(6):
+    for _ in range(4):
         v = v + apply_augmented_inverse(y - apply_augmented(v))
     return ComplexTrainState(
         params=params, features=features, labels=y, rescale=rescale,
@@ -223,9 +230,19 @@ def predict_complex(state: ComplexTrainState, test_features, with_variance: bool
 
     Returns RI means: ``(mean_raw (M, 2), var (M,), cutoff_raw (M, 2))``.
     """
-    from gple_tpu.ops.kernels import predict_dtype
+    from functools import partial
 
-    dt_p = predict_dtype()
+    from gple_tpu.ops.kernels import predict_impl
+
+    return predict_impl(
+        partial(_predict_complex_impl, dt_p=jnp.float64, with_variance=with_variance),
+        partial(_predict_complex_impl, dt_p=jnp.float32, with_variance=with_variance),
+        state, test_features,
+    )
+
+
+def _predict_complex_impl(state: ComplexTrainState, test_features, *, dt_p,
+                          with_variance: bool):
     p = jax.tree.map(lambda a: jnp.asarray(a).astype(dt_p), state.params)
     k_star, kt_re, kt_im = covariance_matrices(
         p, test_features.astype(dt_p), state.features.astype(dt_p), same=False

@@ -42,17 +42,20 @@ RESCALE_MAXIMUM = 10.0
 CONNECTING_POINT = 2.0
 
 
-def predict_dtype():
-    """Precision of the PREDICTION path (cross-kernels, means, variances).
+def predict_impl(cpu_impl, tpu_impl, *args):
+    """Platform-dispatch helper for the PREDICTION path (cross-kernels, means,
+    variances).
 
     GP predictions carry intrinsic model error orders of magnitude above f32
     round-off, so on TPU the O(M N) predict math runs on the MXU in float32
     (f64 matmuls are ~100x slower, emulated); results are returned as f64.
     The fit factorizations and analytic conservation integrals stay f64.
-    CPU keeps f64 end-to-end (reference-exact for the test oracle)."""
-    import jax
+    CPU keeps f64 end-to-end (reference-exact for the test oracle).
 
-    return jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    Dispatch is ``lax.platform_dependent``: resolved at LOWERING time for the
+    platform the computation actually runs on (a trace-time
+    ``jax.default_backend()`` test ignores ``jax.default_device`` contexts)."""
+    return jax.lax.platform_dependent(*args, cpu=cpu_impl, default=tpu_impl)
 
 
 class KernelParams(NamedTuple):
@@ -124,7 +127,10 @@ def fit_real(params: KernelParams, features, labels_raw) -> RealTrainState:
     from gple_tpu.ops.linalg import psd_inverse, refine_solve
 
     labels_real = jnp.real(labels_raw)
-    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-300)
+    # clip guards the all-zero-label case (inactive elements carry zeros by
+    # design, storage.py): an unbounded 10/1e-300 rescale overflows every
+    # downstream rescale**2, and 0 * inf = NaN poisons the labels themselves
+    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-30)
     y = labels_real * rescale
     k = kernel_matrix(params, features, features, same=True)
     kinv = psd_inverse(k)
@@ -152,7 +158,17 @@ def predict_real(state: RealTrainState, test_features, with_variance: bool = Tru
     back to label units; variance is in rescaled units to match the cutoff
     comparison of the reference (kernel.cpp:495-519).
     """
-    dt_p = predict_dtype()
+    from functools import partial
+
+    return predict_impl(
+        partial(_predict_real_impl, dt_p=jnp.float64, with_variance=with_variance),
+        partial(_predict_real_impl, dt_p=jnp.float32, with_variance=with_variance),
+        state, test_features,
+    )
+
+
+def _predict_real_impl(state: RealTrainState, test_features, *, dt_p,
+                       with_variance: bool):
     params32 = KernelParams(
         magnitude=state.params.magnitude.astype(dt_p),
         lengths=state.params.lengths.astype(dt_p),
@@ -180,7 +196,11 @@ def cutoff_factor(prediction, variance):
     in between.  Branch-free for TPU.
     """
     c = CONNECTING_POINT
-    var = jnp.maximum(variance, 1e-300)
+    # floor must sit INSIDE the f32 exponent range: the axon TPU emulates f64
+    # with f32-range exponents, so 1e-300 flushes to 0 and t = 0/0 = NaN for
+    # zero-mean zero-variance rows (inactive elements).  1e-30 is still ~20
+    # orders below any meaningful rescaled variance (O(1e-8)).
+    var = jnp.maximum(variance, 1e-30)
     t = jnp.abs(prediction) / jnp.sqrt(var)
     mid = (3.0 * c - 2.0 * t - 1.0) * (t - 1.0) ** 2 / (c - 1.0) ** 3
     return jnp.where(t >= c, 1.0, jnp.where(t <= 1.0, 0.0, mid))

@@ -33,11 +33,11 @@ import jax.numpy as jnp
 #: K^T/(||K||_1 ||K||_inf) start) the pre-asymptotic doubling phase needs
 #: ~log2(kappa) iterations: 28 converges to the f32 floor for kappa <= 1e7
 #: (measured 24 suffices on RBF grams; 4 iterations of margin)
-NS_F32_MAX_ITERS = 28
-#: f64 continuation iterations: 4 quadratic steps converge the inverse from
-#: the f32 floor for cond <= ~5e6; at the rare cond ~1e7 optimizer corners the
-#: residual lands at ~0.5 and the refined solves still contract
-NS_F64_MAX_ITERS = 4
+NS_F32_MAX_ITERS = 32
+#: f64 continuation iterations: 6 quadratic steps converge the inverse from
+#: the f32 floor (resid ~ kappa * eps_f32) for the full kappa <= ~1e7 regime
+#: the pinned noise floor admits (K = mag^2 (G + 1e-4 I) => kappa <= 1e4 |G|)
+NS_F64_MAX_ITERS = 6
 #: convergence target on max|I - K X| (adaptive variant only)
 NS_TOL = 1e-8
 
@@ -105,13 +105,26 @@ def _newton_schulz_inverse(k, f32_iters: int = NS_F32_MAX_ITERS,
     still but can UNDER-estimate on flat spectra and diverge).  For the RBF
     grams of this workload (nonnegative entries, near-uniform row sums)
     ||K||_inf is within a small factor of lambda_max, so the bound is tight.
-    The f64 continuation finishes from the f32 floor (~kappa * eps_f32); a
-    NaN guard restarts it from X0 if the f32 stage blew up."""
+    The f64 continuation finishes from the f32 floor (~kappa * eps_f32).
+
+    Runtime conditioning guard: the f32 stage's residual max|I - K X| is
+    probed (one extra f32 matmul, ~1/64 of the stage cost); if it is
+    non-finite OR >= 1 -- i.e. the f32 stage diverged or stalled above the
+    contraction threshold, which happens only beyond kappa ~ 2e7 -- the
+    continuation restarts from X0.  X0 = I/||K||_inf always satisfies
+    ||I - K X0|| < 1 for SPD K, so every downstream ``refine_solve`` still
+    CONTRACTS (Richardson rate 1 - 1/kappa): pathological conditioning
+    degrades to a slow-but-finite solve instead of a silent divergent
+    inverse.  The guard is branch-free (jnp.where), so it stays cheap under
+    the optimizer's vmapped linesearch fan."""
     k32 = k.astype(jnp.float32)
     norminf = jnp.max(jnp.sum(jnp.abs(k32), axis=1))
     x0 = jnp.eye(k.shape[0], dtype=jnp.float32) / norminf
-    x = _ns_scan(k32, x0, f32_iters).astype(k.dtype)
-    x = jnp.where(jnp.all(jnp.isfinite(x)), x, x0.astype(k.dtype))
+    x = _ns_scan(k32, x0, f32_iters)
+    with jax.default_matmul_precision("highest"):
+        resid32 = jnp.max(jnp.abs(jnp.eye(k.shape[0], dtype=jnp.float32) - k32 @ x))
+    bad = ~jnp.isfinite(resid32) | (resid32 >= 1.0)
+    x = jnp.where(bad, x0, jnp.where(jnp.isfinite(x), x, 0.0)).astype(k.dtype)
     x = _ns_scan(k, x, f64_iters)
     # symmetrize only AFTER convergence: the one-sided iterate's asymmetry is
     # kappa * residual and vanishes with it
@@ -159,15 +172,18 @@ def _direct_inverse(k):
 
 @jax.custom_jvp
 def psd_inverse(k):
-    """Inverse of a symmetric positive-definite matrix, backend-adaptive:
-    Cholesky + cho_solve on CPU; Cholesky + exact matmul-only triangular
-    inversion on TPU (where cho_solve/triangular_solve compile-hang)."""
-    if jax.default_backend() == "tpu":
-        # NS, not Cholesky: the XLA:TPU cholesky custom-call RUNS ~100 ms at
-        # N = 1024 here (and cho_solve does not even compile); the pure-matmul
-        # iteration is ~10x faster end to end (see benchmarks/bench_probe.py)
-        return _newton_schulz_inverse(k)
-    return _direct_inverse(k)
+    """Inverse of a symmetric positive-definite matrix, platform-adaptive:
+    Cholesky + cho_solve on CPU; mixed-precision Newton-Schulz on TPU (the
+    XLA:TPU cholesky custom-call RUNS ~100 ms at N = 1024 and cho_solve does
+    not even compile; the pure-matmul iteration is ~10x faster end to end).
+
+    Dispatch is ``lax.platform_dependent`` -- resolved at LOWERING time for
+    the platform the computation actually runs on, so ``jax.default_device``
+    contexts (the optimizer's host-pinned ladder) pick the right branch,
+    unlike a trace-time ``jax.default_backend()`` test."""
+    return jax.lax.platform_dependent(
+        k, cpu=_direct_inverse, default=_newton_schulz_inverse
+    )
 
 
 @psd_inverse.defjvp

@@ -78,7 +78,7 @@ def _fit_nll(features, labels, lengths0, lb, ub, steps: int = 60):
             magnitude=jnp.asarray(1.0), lengths=lengths, noise=jnp.asarray(1e-2)
         )
         st = RK.fit_real(params, features, labels)
-        return jnp.nan_to_num(nll_loss(st), nan=1e300, posinf=1e300)
+        return jnp.nan_to_num(nll_loss(st), nan=1e30, posinf=1e30)
 
     z = _bounds_to_sigmoid(jnp.asarray(lengths0), lb, ub)
     for _ in range(2):
