@@ -67,6 +67,18 @@ class GPLEConfig:
     #: crossing it pumps the coherence to fill the purity budget, later it
     #: clips the growing coherence back (both observed on Tully A).
     purity_target: str = "measured"
+    #: Run-for-run comparable to the reference: forces ``evolve_cutoff=True``
+    #: (main.cpp:75-101), ``purity_target="initial"`` (main.cpp:65), and pins
+    #: the complex-kernel correlation at rho = 1 (complex_kernel.h:12-13)
+    #: instead of learning it.  The measured-accuracy defaults above
+    #: deliberately diverge from the reference; this preset restores its
+    #: exact behavior for apples-to-apples validation runs.
+    reference_parity: bool = False
+
+    def __post_init__(self):
+        if self.reference_parity:
+            object.__setattr__(self, "evolve_cutoff", True)
+            object.__setattr__(self, "purity_target", "initial")
 
     # -- derived quantities (reference input.cpp:25-77) -----------------------
     @property

@@ -256,6 +256,7 @@ class GPLEDriver:
             model=cfg.model, mass=cfg.mass, total_energy=self.total_energy,
             purity=self.purity, sigma_r0=np.asarray(cfg.sigma_r0), seed=cfg.seed,
             lbfgs_steps=cfg.opt_steps_initial,
+            corr_bounds=(1.0, 1.0) if cfg.reference_parity else Optimizer.corr_bounds,
         )
         self.opt_result = self.optimizer.optimize(density, extra, energies)
         # in-trajectory reopts warm-start near the optimum: fewer steps
@@ -355,6 +356,9 @@ class GPLEDriver:
         changed = bool(np.any(new_active != old_active))
         if changed:
             density, extra = self._element_change(density, extra, old_active, new_active)
+            # mc_pur from _tick_fused predates the reseeding: recompute so the
+            # forced reopt pins the GP purity to the post-seeding point sum
+            mc_pur = jnp.sum(OBS.purity_each_element(density))
         # the purity the constrained optimizer pins the GP integrals to
         # (see GPLEConfig.purity_target)
         measured_purity = float(mc_pur) * purity_factor(cfg.dim) * self.purity_ratio

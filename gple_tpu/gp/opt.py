@@ -390,6 +390,11 @@ class Optimizer:
     off_magnitude: float = 1.0
     lbfgs_steps: int = LBFGS_STEPS
     seed: int = 0
+    #: (lb, ub) of the learnable Re-Im correlation rho; pin lb = ub = 1.0 to
+    #: hard-wire the reference kernel (complex_kernel.h:12-13) -- the
+    #: sigmoid-bounds transform collapses a zero-width box to its value, the
+    #: same mechanism the reference uses for magnitude/noise (opt.cpp:25-27)
+    corr_bounds: tuple = (-CORR_BOUND, CORR_BOUND)
     #: "cpu" pins the whole ladder to the host (reference-style, fast zoom
     #: linesearch); "default" runs it on the session backend (TPU: scan-based
     #: fixed-fan linesearch, one long first compile)
@@ -451,10 +456,10 @@ class Optimizer:
             dub=jnp.asarray(np.stack(dub)),
             olb=jnp.concatenate([jnp.asarray([COMPLEX_MAG_LB]), jnp.asarray(olb),
                                  jnp.asarray([COMPLEX_MAG_LB]), jnp.asarray(olb),
-                                 jnp.asarray([-CORR_BOUND])]),
+                                 jnp.asarray([self.corr_bounds[0]])]),
             oub=jnp.concatenate([jnp.asarray([COMPLEX_MAG_UB]), jnp.asarray(oub),
                                  jnp.asarray([COMPLEX_MAG_UB]), jnp.asarray(oub),
-                                 jnp.asarray([CORR_BOUND])]),
+                                 jnp.asarray([self.corr_bounds[1]])]),
             targets=jnp.asarray([1.0, self.total_energy, self.purity]),
         )
         return data, bool(active[OFFDIAG_INDEX])

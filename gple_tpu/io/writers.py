@@ -122,18 +122,22 @@ class OutputWriters:
 
     # -- run.log --------------------------------------------------------------------
     def write_log(self, t, error, mc_steps, displacements, opt_type,
-                  rescales=(), opt_steps=0):
+                  rescales, opt_steps=0):
         """Reference field order (output.cpp:235-302): time, wall time since
         the previous output, MC steps per element, max displacement per
         element, per-element label rescale factor, optimization error, number
-        of optimization steps, optimization kind, wall-clock timestamp."""
+        of optimization steps, optimization kind, wall-clock timestamp.
+
+        ``rescales`` is required (one entry per element, NaN for absent
+        elements) so every line has the same width and downstream parsers can
+        locate columns reliably."""
         now = time.time()
         self._files["logging"].write(
             f"{t} {now - self._t_wall:.3f} "
             + " ".join(str(s) for s in mc_steps)
             + " "
             + " ".join(str(d) for d in displacements)
-            + (" " + " ".join(repr(float(r)) for r in rescales) if len(rescales) else "")
+            + " " + " ".join(repr(float(r)) for r in rescales)
             + f" {error} {opt_steps} {opt_type} "
             + time.strftime("%F %T %Z", time.localtime(now))
             + "\n"

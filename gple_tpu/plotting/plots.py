@@ -111,8 +111,11 @@ def plot_gple_log(log_path: str, out_png: str) -> str:
     t = np.array([float(r[0]) for r in rows])
     wall = np.array([float(r[1]) for r in rows])
     steps = np.array([[float(r[2 + k]) for k in range(3)] for r in rows])
-    # fields: t, wall, steps x3, disp x3, rescale x3, error, opt_steps, type, timestamp
-    err = np.array([float(r[11]) for r in rows])
+    # fields: t, wall, steps x3, disp x3, rescale x3, error, opt_steps, type,
+    # timestamp ("%F %T %Z" = 3 tokens).  Locate error from the line END so
+    # logs written before the rescales block became mandatory (3 fewer
+    # columns) still parse.
+    err = np.array([float(r[-6]) for r in rows])
     fig, axes = plt.subplots(1, 3, figsize=(13, 4))
     axes[0].plot(t, wall); axes[0].set_title("wall time per output (s)")
     for k in range(3):

@@ -65,3 +65,20 @@ def test_mc_params_tuned(short_run):
     _, drv, _, _ = short_run
     assert drv.mc_params[0].displacement in POSSIBLE_DISPLACEMENTS
     assert drv.mc_params[0].num_steps >= 1
+
+
+def test_reference_parity_preset():
+    """reference_parity forces the three behavior divergences back to the
+    reference's: evolution-loop cutoff on, purity pinned to t=0, corr = 1."""
+    from gple_tpu.config import GPLEConfig
+    from gple_tpu.gp.opt import _bounds_to_sigmoid, _sigmoid_to_bounds
+
+    cfg = GPLEConfig(reference_parity=True)
+    assert cfg.evolve_cutoff is True
+    assert cfg.purity_target == "initial"
+    # the zero-width corr box maps any optimizer iterate back to exactly 1.0
+    import jax.numpy as jnp
+
+    one = jnp.asarray(1.0)
+    z = _bounds_to_sigmoid(one, one, one)
+    assert float(_sigmoid_to_bounds(z, one, one)) == 1.0
