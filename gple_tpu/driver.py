@@ -190,6 +190,10 @@ class GPLEDriver:
         self.profile_dir = profile_dir
         #: cumulative per-phase wall times (evolve / refit / optimize / output)
         self.phase_times = {"evolve": 0.0, "refit": 0.0, "optimize": 0.0, "output": 0.0}
+        #: event counters for the non-adiabatic machinery (activation of new
+        #: density-matrix elements, drift-triggered cloud re-selections) --
+        #: lets tests assert the crossing physics actually fired
+        self.stats = {"element_activations": 0, "cloud_reselections": 0}
         # per-driver new-point distribution functions (stable identities)
         self._new_pt_dists = tuple(
             partial(self._new_point_dist, elem=k) for k in range(NUM_ELEMENTS)
@@ -355,6 +359,7 @@ class GPLEDriver:
         opt_type = "none"
         changed = bool(np.any(new_active != old_active))
         if changed:
+            self.stats["element_activations"] += int(np.sum(new_active & ~old_active))
             density, extra = self._element_change(density, extra, old_active, new_active)
             # mc_pur from _tick_fused predates the reseeding: recompute so the
             # forced reopt pins the GP purity to the post-seeding point sum
@@ -414,6 +419,7 @@ class GPLEDriver:
                 continue
             self._log(f"element {ELEMENTS[k]} cloud re-selected (drift "
                       f"{np.abs(com - mean) / std})")
+            self.stats["cloud_reselections"] += 1
             # the Metropolis target is the backward-branching predictor, not
             # the element's own GP: it derives the density from the coherence
             # and the diagonals at branch points, so it has support where the

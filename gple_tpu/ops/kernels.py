@@ -81,16 +81,56 @@ class KernelParams(NamedTuple):
 
 
 def gram(lengths, xa, xb):
-    """Unit-magnitude RBF Gram matrix exp(-1/2 sum((a-b)/l)^2), (Na, Nb).
+    """Unit-magnitude RBF Gram matrix exp(-1/2 |z_a - z_b|^2), (Na, Nb).
+
+    ``lengths`` selects between two hypothesis classes:
+
+    * vector ``(PhaseDim,)`` -- axis-aligned ARD, z = x / l (the main-program
+      kernel, kernel.h:25-28);
+    * matrix ``(PhaseDim, PhaseDim)`` -- full lower-triangular characteristic
+      matrix W, z = W x, whose diagonal is the INVERSE lengths and whose
+      off-diagonal terms couple dimensions (the reference validation GPR's
+      shogun GaussianARD weights, test/gpr.cpp:309-328,368-396) -- a strictly
+      richer class that can align to tilted phase-space distributions.
+
+    The two are distinguished by rank relative to the features so both stay
+    valid under ``vmap`` batching (batched vector lengths are ``ndim - 1`` of
+    the batched features; batched matrices are equal ndim).
 
     Broadcast-difference form: exact (no catastrophic cancellation) and cheap
     at PhaseDim = 2; the Pallas fused kernel (ops/pallas_gram.py) replaces this
     on TPU for large N.
     """
-    za = xa / lengths
-    zb = xb / lengths
+    if lengths.ndim == xa.ndim:  # full characteristic matrix: z = W x
+        za = jnp.einsum("...ij,...nj->...ni", lengths, xa)
+        zb = jnp.einsum("...ij,...nj->...ni", lengths, xb)
+    else:
+        za = xa / lengths
+        zb = xb / lengths
     d2 = jnp.sum((za[..., :, None, :] - zb[..., None, :, :]) ** 2, axis=-1)
     return jnp.exp(-0.5 * d2)
+
+
+def effective_length_product(lengths) -> jnp.ndarray:
+    """prod of characteristic lengths -- the Gaussian-integral volume factor.
+
+    Vector lengths: prod(l).  Characteristic matrix W (lower triangular,
+    z = W x): integral of exp(-1/2 |W d|^2) over d is (2 pi)^Dim / det(W)
+    with det(W) = prod(diag(W)), so the effective product is 1/prod(|diag W|)
+    (reference test/gpr.cpp:750 uses Characteristic.diagonal().prod() the
+    same way)."""
+    if lengths.ndim >= 2:
+        return 1.0 / jnp.abs(jnp.prod(jnp.diagonal(lengths, axis1=-2, axis2=-1), axis=-1))
+    return jnp.prod(lengths, axis=-1)
+
+
+def purity_aux_lengths(lengths):
+    """The sqrt(2)-widened characteristic of the purity auxiliary kernel:
+    exp(-1/4 |z_i - z_j|^2) (kernel.h:285-294).  Vector: sqrt(2) l; matrix:
+    W / sqrt(2)."""
+    if lengths.ndim >= 2:
+        return lengths / jnp.sqrt(2.0)
+    return jnp.sqrt(2.0) * lengths
 
 
 def kernel_matrix(params: KernelParams, xa, xb, same: bool):
@@ -231,27 +271,31 @@ def _dim(state: RealTrainState) -> int:
 def population(state: RealTrainState) -> jnp.ndarray:
     """integral f(r) dr = (2 pi)^Dim sigma_f^2 prod(l) sum(alpha) / rescale."""
     d = _dim(state)
-    factor = (2.0 * jnp.pi) ** d * state.params.magnitude**2 * jnp.prod(state.params.lengths)
+    factor = (2.0 * jnp.pi) ** d * state.params.magnitude**2 \
+        * effective_length_product(state.params.lengths)
     return factor * jnp.sum(state.alpha) / state.rescale
 
 
 def r_average(state: RealTrainState) -> jnp.ndarray:
     """integral r f(r) dr, shape (PhaseDim,) (kernel.cpp:298-312)."""
     d = _dim(state)
-    factor = (2.0 * jnp.pi) ** d * state.params.magnitude**2 * jnp.prod(state.params.lengths)
+    factor = (2.0 * jnp.pi) ** d * state.params.magnitude**2 \
+        * effective_length_product(state.params.lengths)
     return factor * (state.features.T @ state.alpha) / state.rescale
 
 
 def purity(state: RealTrainState) -> jnp.ndarray:
-    """(2 pi hbar)^Dim integral f^2 dr via the sqrt(2)-length auxiliary kernel
+    """(2 pi hbar)^Dim integral f^2 dr via the sqrt(2)-widened auxiliary kernel
     (kernel.h:285-294, kernel.cpp:313-335):
 
         purity = (2 pi hbar)^Dim pi^Dim alpha^T K1 alpha / rescale^2,
         K1 = sigma_f^4 prod(l) exp(-1/4 sum((dx/l)^2)).
     """
     d = _dim(state)
-    aux_lengths = jnp.sqrt(2.0) * state.params.lengths
-    aux_mag_sq = state.params.magnitude**4 * jnp.prod(state.params.lengths)
-    k1 = aux_mag_sq * gram(aux_lengths, state.features, state.features)
+    aux_mag_sq = state.params.magnitude**4 \
+        * effective_length_product(state.params.lengths)
+    k1 = aux_mag_sq * gram(
+        purity_aux_lengths(state.params.lengths), state.features, state.features
+    )
     quad = state.alpha @ (k1 @ state.alpha)
     return purity_factor(d) * jnp.pi**d * quad / state.rescale**2

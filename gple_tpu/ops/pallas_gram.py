@@ -13,6 +13,12 @@ Kernels compute in float32 (the TPU-native width; Mosaic has no f64 path) and
 are therefore opt-in: the f64 jnp path stays the default for the conservation
 checks, and the driver enables Pallas for f32 production runs.  Correctness is
 tested in interpreter mode on CPU against the jnp reference.
+
+Note the ``jnp.int32(0)`` literals in every BlockSpec index map: under
+``jax_enable_x64`` a bare Python ``0`` traces as i64 while ``program_id`` is
+i32, and Mosaic refuses the mixed-width ``func.return`` ("failed to legalize
+operation 'func.return'", reproduced on the v5e).  Constructing the constant
+inside the trace at i32 keeps the index map single-width.
 """
 
 from __future__ import annotations
@@ -75,8 +81,8 @@ def gram_pallas(lengths, xa, xb, interpret: bool = False):
         _gram_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((TILE, d), lambda i, j: (i, jnp.int32(0))),
+            pl.BlockSpec((TILE, d), lambda i, j: (j, jnp.int32(0))),
         ],
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((ma, mb), jnp.float32),
@@ -124,11 +130,11 @@ def predict_mean_pallas(lengths, magnitude, x_test, x_train, alpha,
         _predict_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((TILE, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((TILE, d), lambda i, j: (i, jnp.int32(0))),
+            pl.BlockSpec((TILE, d), lambda i, j: (j, jnp.int32(0))),
+            pl.BlockSpec((TILE, 1), lambda i, j: (j, jnp.int32(0))),
         ],
-        out_specs=pl.BlockSpec((TILE, 1), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((TILE, 1), lambda i, j: (i, jnp.int32(0))),
         out_shape=jax.ShapeDtypeStruct((zt.shape[0], 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.float32)] if _HAS_PLTPU else [],
         interpret=interpret,

@@ -68,22 +68,45 @@ def grid_weighted_selection(key, coords, values, n_points: int):
     return jnp.asarray(coords[idx]), jnp.asarray(values[idx])
 
 
-def _fit_nll(features, labels, lengths0, lb, ub, steps: int = 60):
+def _fit_nll(features, labels, lengths0, lb, ub, steps: int = 60,
+             full_ard: bool = False):
     """Two-stage NLL hyperparameter fit (reference gpr.cpp:535-643 runs
-    Nelder-Mead then TNEWTON; here one L-BFGS in sigmoid space twice)."""
+    Nelder-Mead then TNEWTON; here one L-BFGS in sigmoid space twice).
+
+    ``full_ard`` switches to the reference validation GPR's hypothesis class
+    (test/gpr.cpp:309-328): a full lower-triangular characteristic matrix
+    W = [[1/l_0, 0], [w_10, 1/l_1]] whose cross term lets the kernel align to
+    tilted (x-p correlated) phase-space distributions.  The extra parameter
+    starts at 0 (= the axis-aligned kernel), bounded by the largest inverse
+    length so the tilt can never dominate the diagonal scales."""
+    pd = int(jnp.size(lengths0))
+    if full_ard:
+        wmax = 1.0 / jnp.sqrt(lb[0] * lb[1])
+        lb = jnp.concatenate([lb, jnp.asarray([-wmax])])
+        ub = jnp.concatenate([ub, jnp.asarray([wmax])])
+        theta0 = jnp.concatenate([jnp.asarray(lengths0), jnp.zeros((1,))])
+    else:
+        theta0 = jnp.asarray(lengths0)
+
+    def to_lengths(theta):
+        if not full_ard:
+            return theta
+        w = jnp.zeros((pd, pd), dtype=theta.dtype)
+        w = w.at[jnp.diag_indices(pd)].set(1.0 / theta[:pd])
+        return w.at[1, 0].set(theta[pd])
 
     def loss(z):
-        lengths = _sigmoid_to_bounds(z, lb, ub)
+        lengths = to_lengths(_sigmoid_to_bounds(z, lb, ub))
         params = RK.KernelParams(
             magnitude=jnp.asarray(1.0), lengths=lengths, noise=jnp.asarray(1e-2)
         )
         st = RK.fit_real(params, features, labels)
         return jnp.nan_to_num(nll_loss(st), nan=1e30, posinf=1e30)
 
-    z = _bounds_to_sigmoid(jnp.asarray(lengths0), lb, ub)
+    z = _bounds_to_sigmoid(theta0, lb, ub)
     for _ in range(2):
         z = _lbfgs_scan(loss, z, steps)
-    lengths = _sigmoid_to_bounds(z, lb, ub)
+    lengths = to_lengths(_sigmoid_to_bounds(z, lb, ub))
     params = RK.KernelParams(
         magnitude=jnp.asarray(1.0), lengths=lengths, noise=jnp.asarray(1e-2)
     )
@@ -104,9 +127,13 @@ class SnapshotFit:
 
 
 def screenshot_fit(key, coords, values, da: float, n_points: int = DEFAULT_NUM_POINTS,
-                   lengths0=None) -> SnapshotFit:
+                   lengths0=None, full_ard: bool = False) -> SnapshotFit:
     """Fit one snapshot (coords (G, 2), real values (G,), cell area da) and
-    report MSE / NLL / populations both ways (main_screenshot.cpp:96-114)."""
+    report MSE / NLL / populations both ways (main_screenshot.cpp:96-114).
+
+    ``full_ard`` fits the reference validation GPR's full lower-triangular
+    characteristic matrix (cross term between x and p) instead of axis-aligned
+    lengths; ``lengths0`` stays a plain length vector either way."""
     feats, labels = grid_weighted_selection(key, np.asarray(coords), np.asarray(values),
                                             n_points)
     std = np.asarray(feats).std(axis=0)
@@ -114,7 +141,7 @@ def screenshot_fit(key, coords, values, da: float, n_points: int = DEFAULT_NUM_P
     ub = jnp.asarray(2.0 * std)
     if lengths0 is None:
         lengths0 = 0.5 * std
-    state = _fit_nll(feats, labels, jnp.asarray(lengths0), lb, ub)
+    state = _fit_nll(feats, labels, jnp.asarray(lengths0), lb, ub, full_ard=full_ard)
     pred, _, _ = RK.predict_real(state, jnp.asarray(coords), with_variance=False)
     mse = float(jnp.mean((pred - jnp.asarray(values)) ** 2))
     return SnapshotFit(
@@ -189,7 +216,9 @@ def evolve_fit(key, times, frames, x_grid, p_grid, model: str, mass: float,
                 mses.append(0.0)
                 continue
             fit = screenshot_fit(sub, coords, vals, da, n_points, lengths0=warm[s])
-            warm[s] = np.asarray(fit.state.params.lengths)
+            fitted = np.asarray(fit.state.params.lengths)
+            # warm start stays a plain length vector under either kernel class
+            warm[s] = 1.0 / np.abs(np.diagonal(fitted)) if fitted.ndim == 2 else fitted
             pops_g.append(fit.population_grid)
             pops_p.append(fit.population_prm)
             es_g.append(float((vals * e_per_cell[s]).sum() * da))
