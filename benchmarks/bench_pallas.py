@@ -22,11 +22,15 @@ from gple_tpu.ops import kernels as RK  # noqa: E402
 from gple_tpu.ops.pallas_gram import gram_pallas, predict_mean_pallas  # noqa: E402
 
 
-def timeit(label, fn, *args, reps=20):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(reps):
+def timeit(label, fn, arg_sets, reps=20):
+    """axon serves bit-identical re-executions from a device-side cache, so
+    every rep must see fresh inputs: cycle through pre-generated argument
+    sets (each compiled once -- same shapes)."""
+    for args in arg_sets:
         out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for r in range(reps):
+        out = jax.block_until_ready(fn(*arg_sets[r % len(arg_sets)]))
     dt = (time.perf_counter() - t0) / reps
     print(f"{label}: {dt*1e3:9.3f} ms", flush=True)
     return out, dt
@@ -46,8 +50,10 @@ def main():
         gx = jax.jit(lambda l, a, b: RK.gram(l, a, b).astype(jnp.float32))
         gp = jax.jit(gram_pallas)
         print(f"-- N={n} --", flush=True)
-        o1, t_xla = timeit("gram xla f32   ", gx, lengths, x, x)
-        o2, t_pal = timeit("gram pallas    ", gp, lengths, x, x)
+        xs = [x + 1e-3 * i for i in range(8)]
+        xts = [xt + 1e-3 * i for i in range(8)]
+        o1, t_xla = timeit("gram xla f32   ", gx, [(lengths, xi, xi) for xi in xs])
+        o2, t_pal = timeit("gram pallas    ", gp, [(lengths, xi, xi) for xi in xs])
         err = float(jnp.max(jnp.abs(o1 - o2)))
         print(f"gram max|diff| = {err:.2e}  speedup x{t_xla/t_pal:.2f}", flush=True)
 
@@ -57,8 +63,10 @@ def main():
 
         mx = jax.jit(mean_xla)
         mp = jax.jit(predict_mean_pallas)
-        o1, t_xla = timeit(f"mean xla  M={m}", mx, lengths, mag, xt, x, alpha)
-        o2, t_pal = timeit(f"mean palls M={m}", mp, lengths, mag, xt, x, alpha)
+        o1, t_xla = timeit(f"mean xla  M={m}", mx,
+                           [(lengths, mag, xts[i], xs[i], alpha) for i in range(8)])
+        o2, t_pal = timeit(f"mean palls M={m}", mp,
+                           [(lengths, mag, xts[i], xs[i], alpha) for i in range(8)])
         err = float(jnp.max(jnp.abs(o1 - o2)) / jnp.max(jnp.abs(o1)))
         print(f"mean rel|diff| = {err:.2e}  speedup x{t_xla/t_pal:.2f}", flush=True)
 

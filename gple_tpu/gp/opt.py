@@ -170,21 +170,43 @@ def _lbfgs_scan(fn, z0, steps: int):
     )
 
 
+#: inner-solver convergence: stop when the sup-norm of the L-BFGS update falls
+#: below this (sigmoid-space parameters are O(1); 1e-7 is far past any
+#: physically meaningful change in the lengths).  The reference's NLopt stops
+#: on the same kind of step tolerance (opt.cpp:342-346 sets xtol/ftol).
+ZOOM_XTOL = 1e-7
+
+
 def _lbfgs_zoom(fn, z0, steps: int):
-    """optax L-BFGS with zoom linesearch (CPU path)."""
+    """optax L-BFGS with zoom linesearch (CPU path).
+
+    Runs as a ``while_loop`` with a step-size convergence test instead of a
+    fixed-length scan: warm restarts typically converge in far fewer than
+    ``steps`` iterations, and on the host an early exit skips their ~2-3 loss
+    evaluations each (the optimizer is the wall-clock bottleneck of a CPU
+    trajectory, 480/648 s in round 1).  The TPU path keeps the fixed-length
+    scan -- a data-dependent while_loop costs a device sync per iteration
+    over the axon tunnel."""
     opt = optax.lbfgs()
     state = opt.init(z0)
     vg = optax.value_and_grad_from_state(fn)
 
-    def step(carry, _):
-        z, st = carry
+    def cond(carry):
+        _, _, i, dz = carry
+        return (i < steps) & (dz > ZOOM_XTOL)
+
+    def body(carry):
+        z, st, i, _ = carry
         value, grad = vg(z, state=st)
         grad = jnp.nan_to_num(grad)
         updates, st = opt.update(grad, st, z, value=value, grad=grad, value_fn=fn)
         z = optax.apply_updates(z, updates)
-        return (z, st), value
+        dz = jnp.max(jnp.abs(jnp.nan_to_num(updates)))
+        return (z, st, i + 1, dz)
 
-    (z, _), _ = jax.lax.scan(step, (z0, state), None, length=steps)
+    z, _, _, _ = jax.lax.while_loop(
+        cond, body, (z0, state, jnp.asarray(0), jnp.asarray(jnp.inf, dtype=z0.dtype))
+    )
     return z
 
 
@@ -262,14 +284,22 @@ def _lbfgs_fixed_fan(fn, z0, steps: int):
     return z.reshape(shape)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _run_stage(start_diag, start_off, data, off_active: bool, lbfgs_steps: int,
-               al_outer: int):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _run_stage(start_diag, start_off, lam0, data, off_active: bool,
+               lbfgs_steps: int, al_outer: int):
     """One complete do_optimize pass (opt.cpp:1101-1198) as a single XLA
     program: elementwise fits, then the constrained diagonal pass, then (when
     the coherence is active) the constrained full pass.
 
-    Returns (diag_lengths, off_flat, error, raw_averages).
+    ``lam0``: (2, 3) warm-start Lagrange multipliers for the (diag, full)
+    constrained passes -- zeros for a cold start.  Warm multipliers carry the
+    converged constraint prices from the previous reoptimization, so the
+    ladder's usual ``local_previous`` stage needs fewer outer updates
+    (al_outer = 2 instead of 4) for the same acceptance (the reference's
+    SLSQP re-derives exact KKT multipliers each call; an AL method gets them
+    iteratively, and between reopts they barely move).
+
+    Returns (diag_lengths, off_flat, error, raw_averages, lam_out).
     """
     dlb, dub = data["dlb"], data["dub"]
     olb, oub = data["olb"], data["oub"]
@@ -288,7 +318,7 @@ def _run_stage(start_diag, start_off, data, off_active: bool, lbfgs_steps: int,
     # updates run as a lax.scan (NOT an unrolled Python loop): one L-BFGS
     # body in the compiled graph instead of al_outer copies -- the unrolled
     # form made _run_stage a >25-minute XLA compile on the axon backend.
-    def al_minimize(z0, loss_and_cons, n_cons):
+    def al_minimize(z0, loss_and_cons, n_cons, lam_init):
         def outer(carry, _):
             z, lam, mu = carry
 
@@ -300,10 +330,10 @@ def _run_stage(start_diag, start_off, data, off_active: bool, lbfgs_steps: int,
             _, cons = loss_and_cons(z)
             return (z, lam + mu * cons, mu * AL_MU_GROWTH), None
 
-        (z, _, _), _ = jax.lax.scan(
-            outer, (z0, jnp.zeros(n_cons), jnp.asarray(AL_MU0)), None, length=al_outer
+        (z, lam, _), _ = jax.lax.scan(
+            outer, (z0, lam_init[:n_cons], jnp.asarray(AL_MU0)), None, length=al_outer
         )
-        return z
+        return z, lam
 
     # diagonal pass: purity constraint only when the coherence is absent
     n_cons_diag = 2 if off_active else 3
@@ -320,7 +350,8 @@ def _run_stage(start_diag, start_off, data, off_active: bool, lbfgs_steps: int,
         cons = ((avgs - targets) / cons_scale)[:n_cons_diag]
         return _diag_loss(lengths, data), cons
 
-    zd = al_minimize(zd, diag_lc, n_cons_diag)
+    zd, lam_diag = al_minimize(zd, diag_lc, n_cons_diag, lam0[0])
+    lam_full = lam0[1][:3]
 
     if off_active:
         zall = jnp.concatenate([zd.ravel(), zo])
@@ -333,7 +364,7 @@ def _run_stage(start_diag, start_off, data, off_active: bool, lbfgs_steps: int,
             cons = (avgs - targets) / cons_scale
             return _diag_loss(lengths, data) + _off_loss(off_flat, data), cons
 
-        zall = al_minimize(zall, full_lc, 3)
+        zall, lam_full = al_minimize(zall, full_lc, 3, lam0[1])
         zd = zall[:nd].reshape(zd.shape)
         zo = zall[nd:]
 
@@ -341,7 +372,11 @@ def _run_stage(start_diag, start_off, data, off_active: bool, lbfgs_steps: int,
     off_flat = _sigmoid_to_bounds(zo, olb, oub)
     error = _diag_loss(diag_lengths, data) + (_off_loss(off_flat, data) if off_active else 0.0)
     avgs = _raw_averages(diag_lengths, off_flat, data, with_off=off_active)
-    return diag_lengths, off_flat, error, avgs
+    lam_out = jnp.stack([
+        jnp.concatenate([lam_diag, jnp.zeros(3 - n_cons_diag, dtype=lam_diag.dtype)]),
+        lam_full,
+    ])
+    return diag_lengths, off_flat, error, avgs, lam_out
 
 
 @jax.jit
@@ -413,6 +448,9 @@ class Optimizer:
         if self.diag_magnitudes is None:
             self.diag_magnitudes = np.ones(2)
         self._tick = 0
+        #: (2, 3) warm-start AL multipliers (diag pass, full pass) from the
+        #: previously ACCEPTED stage; None until the first reopt completes
+        self._al_lam = None
 
     def _initial_off(self):
         # corr starts at 0 (independent Re/Im): the coherence is a quadrature
@@ -488,14 +526,19 @@ class Optimizer:
         self._tick += 1
 
         def run(start_diag, start_off, tag):
-            dl, of, err, avgs = _run_stage(
-                jnp.asarray(start_diag), jnp.asarray(start_off), data,
-                off_active, self.lbfgs_steps, AL_OUTER,
+            # the warm stage reuses the previous reopt's converged Lagrange
+            # multipliers and spends half the outer AL updates; cold restarts
+            # re-derive them from zero with the full schedule
+            warm = tag == "local_previous" and self._al_lam is not None
+            lam0 = jnp.asarray(self._al_lam if warm else np.zeros((2, 3)))
+            dl, of, err, avgs, lam = _run_stage(
+                jnp.asarray(start_diag), jnp.asarray(start_off), lam0, data,
+                off_active, self.lbfgs_steps, AL_OUTER // 2 if warm else AL_OUTER,
             )
             check = self._check_averages(np.asarray(avgs), off_active)
             return dict(
                 diag_lengths=np.asarray(dl), off_params=np.asarray(of),
-                error=float(err), check=check, tag=tag,
+                error=float(err), check=check, tag=tag, lam=np.asarray(lam),
             )
 
         # clip starts into the current bounds (move_into_bounds, opt.cpp:1054-1067)
@@ -543,6 +586,7 @@ class Optimizer:
     def _finish(self, res, data) -> OptResult:
         self.diag_lengths = res["diag_lengths"]
         self.off_params = res["off_params"]
+        self._al_lam = res["lam"]
         mags, off_mag = _analytic_magnitudes(
             jnp.asarray(self.diag_lengths), jnp.asarray(self.off_params), data
         )

@@ -9,10 +9,18 @@ fly in VMEM and accumulating the mean matvec without ever materializing the
 (M, N) cross-kernel matrix in HBM -- the predict becomes compute-bound instead
 of bandwidth-bound.
 
-Kernels compute in float32 (the TPU-native width; Mosaic has no f64 path) and
-are therefore opt-in: the f64 jnp path stays the default for the conservation
-checks, and the driver enables Pallas for f32 production runs.  Correctness is
-tested in interpreter mode on CPU against the jnp reference.
+Kernels compute in float32 (the TPU-native width; Mosaic has no f64 path).
+
+**Status: measured, not wired.**  On the real v5e (`benchmarks/bench_pallas.py`,
+2026-08-17, varied inputs to defeat the device result cache) the Pallas gram
+matches stock XLA and the fused mean runs 0.86-1.0x of it -- XLA already fuses
+the cross-kernel + matvec, and the production step's hot phase is the f64 fit
+factorization (235 ms standalone at N = 1024) rather than the predict
+(22 ms including all gram/mean/variance work, `benchmarks/bench_phases.py`).
+Production therefore keeps the XLA path; these kernels remain as correct,
+real-TPU-validated building blocks with tests (interpreter mode on CPU,
+`tests/test_pallas.py`) should a bandwidth-bound predict variant appear
+(e.g. much larger query fans).
 
 Note the ``jnp.int32(0)`` literals in every BlockSpec index map: under
 ``jax_enable_x64`` a bare Python ``0`` traces as i64 while ``program_id`` is
