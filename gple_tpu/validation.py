@@ -154,6 +154,71 @@ def screenshot_fit(key, coords, values, da: float, n_points: int = DEFAULT_NUM_P
     )
 
 
+def _char_rows(lengths):
+    """(w00, w10, w11) of the characteristic matrix in z = W r form.
+
+    Vector lengths l map to W = diag(1/l); the full matrix is lower
+    triangular already."""
+    if lengths.ndim == 2:
+        return lengths[0, 0], lengths[1, 0], lengths[1, 1]
+    return 1.0 / lengths[0], jnp.zeros(()), 1.0 / lengths[1]
+
+
+#: fixed trapezoid rule in the standardized variable t = w00 (x - xi) over
+#: [-8, 8]: for Gaussian-weighted smooth integrands the trapezoid rule
+#: converges spectrally (the Tully tanh potentials have complex poles close
+#: enough to the real axis that Gauss-Hermite stalls at ~1% here), and the
+#: truncation error is exp(-32).  512 nodes leave the rule error below 1e-12.
+POT_NODES = 512
+POT_SPAN = 8.0
+
+
+def potential_energy_prm(state: RK.RealTrainState, model: str, surface: int) -> jnp.ndarray:
+    """integral V_s(x) f(x, p) dx dp from the fitted GP parameters.
+
+    The reference evaluates this with an adaptive Bulirsch-Stoer odeint over
+    the analytic p-marginal (test/gpr.cpp:764-841).  Here the p-marginal is
+    the same closed form -- for lower-triangular W, the cross term shifts the
+    p-Gaussian's mean and integrates out exactly, leaving
+    sqrt(2 pi)/w11 * exp(-(w00 dx)^2/2) -- and the x integral is a FIXED
+    trapezoid rule in the standardized variable: batched potential
+    evaluations at (N, POT_NODES) nodes instead of a data-dependent stepper,
+    spectrally accurate for the Gaussian-weighted integrand and
+    jit/vmap-friendly.  (The reference's full-matrix marginal formula,
+    gpr.cpp:804-806, has a sign slip in the cross-term correction --
+    `1 + A01^2/(A01^2+A11^2)` where completing the square gives `1 - ...`;
+    with the lower-triangular convention used here the correction vanishes
+    identically, sidestepping it.)
+    """
+    w00, w10, w11 = _char_rows(state.params.lengths)
+    # fixed trapezoid nodes/weights for weight exp(-t^2/2): x = xi + t/w00
+    t = jnp.linspace(-POT_SPAN, POT_SPAN, POT_NODES + 1)
+    u = jnp.exp(-0.5 * t**2) * (2.0 * POT_SPAN / POT_NODES)
+    u = u.at[0].mul(0.5).at[-1].mul(0.5)
+    xi = state.features[:, 0]
+    x_nodes = xi[:, None] + t[None, :] / w00                       # (N, GH)
+    v = tully.adiabatic_potential(model, x_nodes.ravel())[:, surface]
+    v = v.reshape(x_nodes.shape)
+    # integral V(x) exp(-(w00 dx)^2/2) dx = (1/w00) sum_j u_j V(xi + t_j/w00)
+    pot_i = (v @ u) / w00
+    coeff = state.params.magnitude**2 * jnp.sqrt(2.0 * jnp.pi) / jnp.abs(w11)
+    return coeff * jnp.dot(pot_i, state.alpha) / state.rescale
+
+
+def kinetic_energy_prm(state: RK.RealTrainState, mass: float) -> jnp.ndarray:
+    """integral p^2/(2m) f(x, p) dx dp analytically (test/gpr.cpp:845-886).
+
+    For z = W (r - ri), W lower triangular:
+    integral p^2 exp(-|z|^2/2) dr = (2 pi / (w00 w11)) *
+        (1/w11^2 + p_i^2 + w10^2 / (w00 w11)^2);
+    the vector-lengths case reduces to (2 pi lx lp)(lp^2 + p_i^2)."""
+    w00, w10, w11 = _char_rows(state.params.lengths)
+    pi2 = state.features[:, 1] ** 2
+    per_point = 1.0 / w11**2 + pi2 + w10**2 / (w00 * w11) ** 2
+    coeff = state.params.magnitude**2 * 2.0 * jnp.pi / jnp.abs(w00 * w11)
+    return coeff * jnp.dot(per_point, state.alpha) / (2.0 * mass) / state.rescale
+
+
 def conservation_rescale(populations, energies, target_population: float,
                          target_energy: float):
     """Per-surface linear rescale factors a s.t. sum(a * pop) = target_pop and
