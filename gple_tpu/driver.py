@@ -163,6 +163,11 @@ def _grid_predictions(model_unused, gps: GPStates, grid_pts):
 class TickRecord:
     time: float
     population_prm: float
+    #: per-surface populations by the ANALYTIC parameter integral, normalized
+    #: (the reference writes both estimators to ave.txt, output.cpp:41-118;
+    #: unlike the MC sum this one has no sampling-shape bias and is pinned by
+    #: the optimizer's conservation constraints)
+    population_prm_each: np.ndarray
     population_mci: np.ndarray
     energy_prm: float
     energy_mci: float
@@ -471,9 +476,12 @@ class GPLEDriver:
         density, gps = self.density, self.gps
         energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
         ppl_mci = np.asarray(OBS.population_each_surface(density))
+        ppl_prm = np.asarray(gps.population_each())
+        ppl_prm = ppl_prm / max(ppl_prm.sum(), 1e-30)
         rec = TickRecord(
             time=tick * cfg.dt,
             population_prm=float(gps.population()),
+            population_prm_each=ppl_prm,
             population_mci=ppl_mci,
             energy_prm=float(gps.total_energy(energies)),
             energy_mci=float(OBS.total_energy_all_surfaces(cfg.model, density, cfg.mass)),

@@ -98,8 +98,9 @@ def gram(lengths, xa, xb):
     the batched features; batched matrices are equal ndim).
 
     Broadcast-difference form: exact (no catastrophic cancellation) and cheap
-    at PhaseDim = 2; the Pallas fused kernel (ops/pallas_gram.py) replaces this
-    on TPU for large N.
+    at PhaseDim = 2.  A fused Pallas gram (ops/pallas_gram.py) was benchmarked
+    against this on the v5e and did not beat XLA's own fusion (see
+    docs/PARITY.md G4), so production keeps this path by measurement.
     """
     if lengths.ndim == xa.ndim:  # full characteristic matrix: z = W x
         za = jnp.einsum("...ij,...nj->...ni", lengths, xa)
