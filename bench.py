@@ -34,16 +34,30 @@ def _setup_jax():
 
 
 def measure(step_fn, args, n_warmup, n_steps):
+    """Time ``n_steps`` feed-forward steps in ONE device dispatch.
+
+    The steps run as a ``lax.scan`` chunk (the production driver's execution
+    shape, driver._ticks_scan), so the measurement is device-bound and immune
+    to host-CPU contention / tunnel dispatch latency -- per-step host
+    dispatch over the axon tunnel costs ~15-200 ms depending on host load,
+    which at N=1024 would dominate the ~76 ms device step."""
     import jax
 
-    out = args
-    for _ in range(n_warmup):
-        out = step_fn(*out)
-    jax.block_until_ready(out)
+    def chunk(carry, _):
+        return step_fn(*carry), None
+
+    def run_chunk(carry, length):
+        out, _ = jax.lax.scan(chunk, carry, None, length=length)
+        return out
+
+    run = jax.jit(run_chunk, static_argnums=1)
+    # warmup with the SAME static length so the timed dispatch hits the
+    # compile cache (a different length is a different XLA program; on the
+    # axon backend that is a minutes-long recompile inside the timed region)
+    del n_warmup
+    out = jax.block_until_ready(run(args, n_steps))
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        out = step_fn(*out)
-    jax.block_until_ready(out)
+    out = jax.block_until_ready(run(out, n_steps))
     return (time.perf_counter() - t0) / n_steps, out
 
 
