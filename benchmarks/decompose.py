@@ -47,13 +47,20 @@ def main():
         "pure GP interpolation capacity per element family",
     )
     ap.add_argument(
-        "--frame", default="static", choices=["static", "rotating"],
+        "--frame", default="static", choices=["static", "rotating", "chirp"],
         help="rotating: fit the coherence GP in the frame e^{+i dE(x) t / "
         "hbar} that unwinds the secular phase accumulation -- the coherence "
         "field's spatial fringe frequency grows ~ t d(dE)/dx, which a "
         "stationary RBF kernel cannot track; the envelope stays smooth",
     )
     ap.add_argument("--frame-sign", type=float, default=1.0)
+    ap.add_argument("--len-div", type=float, default=2.0,
+                    help="coherence GP lengths = weighted std / len_div")
+    ap.add_argument("--anchor", action="store_true",
+                    help="anchor coherence reads at the nearest cloud point's "
+                    "carried value + GP difference (cross-element control "
+                    "variate): kills the GP's smoothing bias in the transfer "
+                    "flux, the GP supplies only a local correction")
     ap.add_argument(
         "--labels", default="exact", choices=["exact", "carried"],
         help="exact: GP fit to the exact Wigner at the cloud (pure "
@@ -184,8 +191,8 @@ def main():
                 # unwind e^{-i dE(x) t} accumulated by the carried evolution
                 labels = ri.phase_mul(labels, frame_sign * gap_rate(cloud[1]) * t_now)
             w_abs = jnp.sqrt(jnp.sum(labels**2, -1))
-            lr = _wstd(cloud[1], labels[:, 0]) / 2.0
-            li = _wstd(cloud[1], labels[:, 1]) / 2.0
+            lr = _wstd(cloud[1], labels[:, 0]) / opts.len_div
+            li = _wstd(cloud[1], labels[:, 1]) / opts.len_div
             params = CK.ComplexKernelParams(
                 magnitude=jnp.asarray(1.0),
                 real_magnitude=jnp.sqrt(jnp.mean(labels[:, 0] ** 2) + 1e-30),
@@ -195,10 +202,18 @@ def main():
                 noise=jnp.asarray(0.01),
                 corr=jnp.asarray(0.0),
             )
-            st = CK.fit_complex(params, cloud[1], labels)
+            st = CK.fit_complex(params, cloud[1], labels, chirp=(opts.frame == "chirp"))
             mean, _, _ = CK.predict_complex(st, pts3[1], with_variance=False)
             if rotating:
                 mean = ri.phase_mul(mean, -frame_sign * gap_rate(pts3[1]) * t_now)
+            if opts.anchor:
+                scale = jnp.std(cloud[1], axis=0) + 1e-30
+                d2 = jnp.sum(
+                    ((pts3[1][:, None, :] - cloud[1][None, :, :]) / scale) ** 2, -1
+                )
+                nn = jnp.argmin(d2, axis=1)
+                mean_at_nn, _, _ = CK.predict_complex(st, cloud[1][nn], with_variance=False)
+                mean = cloud_rho[1][nn] + mean - mean_at_nn
             out = out.at[1].set(mean)
         return out
 

@@ -133,16 +133,63 @@ def covariance_matrices(p: ComplexKernelParams, xa, xb, same: bool):
 class ComplexTrainState(NamedTuple):
     params: ComplexKernelParams
     features: jnp.ndarray       # (N, PhaseDim)
-    labels: jnp.ndarray         # (N, 2) RI, rescaled
+    labels: jnp.ndarray         # (N, 2) RI, rescaled (demodulated when chirped)
     rescale: jnp.ndarray
     p_re: jnp.ndarray           # (N, N) Re of upper-left augmented inverse
     p_im: jnp.ndarray           # (N, N) Im (antisymmetric: P Hermitian)
     q_re: jnp.ndarray           # (N, N) Re of lower-left augmented inverse
     q_im: jnp.ndarray
     v: jnp.ndarray              # (N, 2) RI upper augmented solve
+    #: fringe wavevector of the demodulation frame (PhaseDim,); the GP models
+    #: the envelope rho e^{-i k.r} and predictions re-modulate by e^{+i k.r}.
+    #: zeros = reference behavior
+    chirp_k: jnp.ndarray = jnp.zeros(2)
 
 
-def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainState:
+def estimate_chirp(features, labels_ri) -> jnp.ndarray:
+    """|label|-weighted LSQ estimate of the local fringe wavevector k.
+
+    The coherence rho_10's Wigner field develops phase-space interference
+    fringes as the surface packets separate: locally rho ~ A(r) e^{i k.r}
+    with |k| growing ~ t * (dp_sep, dx_sep) / hbar.  A stationary RBF kernel
+    on (Re, Im) must resolve every fringe; on the smooth envelope A it only
+    needs the packet scale.  k is estimated WITHOUT phase unwrapping from
+    nearest-neighbor phase increments: for y = A e^{i k.r},
+    angle(y_i conj(y_j)) = k . (r_i - r_j)  (mod 2 pi, exact when the
+    neighbor spacing resolves the fringe), solved as a 2x2 weighted
+    least-squares.  All fixed shapes -- O(N^2) distance matrix, one argmin,
+    no data-dependent control flow.  Inactive/all-zero labels give ~0 weight
+    and the ridge term returns k = 0 (the reference frame)."""
+    r = features
+    amp = ri.absval(labels_ri)
+    # std-normalized metric so x and p distances are comparable
+    scale = jnp.std(r, axis=0) + 1e-30
+    z = r / scale
+    d2 = jnp.sum((z[:, None, :] - z[None, :, :]) ** 2, axis=-1)
+    n = r.shape[0]
+    d2 = d2 + jnp.eye(n) * 1e30
+    j = jnp.argmin(d2, axis=1)
+    dr = r - r[j]                                             # (N, PhaseDim)
+    w = amp * amp[j]
+    a = jnp.einsum("n,ni,nj->ij", w, dr, dr) + 1e-12 * jnp.eye(r.shape[-1])
+    # 3 refinement passes de-bias the mod-2pi wrap of the longer pairs: each
+    # pass measures the RESIDUAL increment after demodulating the current
+    # estimate, so wrapped pairs re-enter the principal branch
+    k = jnp.zeros(r.shape[-1], dtype=r.dtype)
+    for _ in range(3):
+        y = ri.phase_mul(labels_ri, -(r @ k))
+        yj = y[j]
+        # angle(y_i conj(y_j))
+        re = y[..., 0] * yj[..., 0] + y[..., 1] * yj[..., 1]
+        im = y[..., 1] * yj[..., 0] - y[..., 0] * yj[..., 1]
+        delta = jnp.arctan2(im, re)
+        b = jnp.einsum("n,ni,n->i", w, dr, delta)
+        k = k + jnp.linalg.solve(a, b)
+    return k
+
+
+def fit_complex(params: ComplexKernelParams, features, labels,
+                chirp: bool = False) -> ComplexTrainState:
     """Factorize the augmented training system (TrainingComplexKernel ctor,
     complex_kernel.cpp:221-268).  ``labels`` is (N, 2) RI.
 
@@ -172,6 +219,13 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
     labels = jnp.asarray(labels)
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-30)
     y = labels * rescale
+    if chirp:
+        # fit the ENVELOPE: demodulate by the estimated fringe wavevector
+        # (see estimate_chirp; k = 0 reproduces the reference kernel exactly)
+        chirp_k = estimate_chirp(features, y)
+        y = ri.phase_mul(y, -(features @ chirp_k))
+    else:
+        chirp_k = jnp.zeros(features.shape[-1], dtype=features.dtype)
     n = features.shape[-2]
     k64, kt_re64, kt_im64 = covariance_matrices(params, features, features, same=True)
     m = jnp.block([[k64 + kt_re64, kt_im64], [kt_im64, k64 - kt_re64]])
@@ -201,7 +255,7 @@ def fit_complex(params: ComplexKernelParams, features, labels) -> ComplexTrainSt
         v = v + apply_augmented_inverse(y - apply_augmented(v))
     return ComplexTrainState(
         params=params, features=features, labels=y, rescale=rescale,
-        p_re=p_re, p_im=p_im, q_re=q_re, q_im=q_im, v=v,
+        p_re=p_re, p_im=p_im, q_re=q_re, q_im=q_im, v=v, chirp_k=chirp_k,
     )
 
 
@@ -249,6 +303,10 @@ def _predict_complex_impl(state: ComplexTrainState, test_features, *, dt_p,
     )
     v32 = state.v.astype(dt_p)
     mean = _mean_ri(k_star, kt_re, kt_im, v32).astype(jnp.float64)
+    # re-modulate the envelope prediction back to the lab frame (no-op when
+    # chirp_k = 0); |mean| and the variance are frame-invariant so the
+    # cutoff logic below is untouched
+    mean = ri.phase_mul(mean, test_features.astype(jnp.float64) @ state.chirp_k)
     if not with_variance:
         return mean / state.rescale, None, mean / state.rescale
     # self-covariance k(x, x) = sigma^2 (m_R^2 + m_I^2 + noise^2)
