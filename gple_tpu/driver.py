@@ -107,7 +107,7 @@ def _tick_fused(model: str, mass: float, dt: float, density: Density,
     new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
     new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
     small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
-    new_gps = fit_gp_states(diag_params, off_params, new_density)
+    new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps)
     mc_purity = jnp.sum(OBS.purity_each_element(new_density))
     return (new_density, new_extra, small, new_gps, new_gps.population(),
             new_gps.purity(), mc_purity)
@@ -130,7 +130,7 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
         new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
         new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
         small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
-        new_gps = fit_gp_states(diag_params, off_params, new_density)
+        new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps)
         return (new_density, new_extra, new_gps), small
 
     (density, extra, gps), smalls = jax.lax.scan(

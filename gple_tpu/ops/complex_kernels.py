@@ -145,6 +145,16 @@ class ComplexTrainState(NamedTuple):
     #: zeros = reference behavior
     chirp_k: jnp.ndarray = jnp.zeros(2)
 
+    def augmented_inverse(self) -> jnp.ndarray:
+        """Reconstruct W = M^-1 of the real SPD embedding from the stored
+        P/Q blocks (inverts the linear map in fit_complex's docstring) --
+        the warm start for the next tick's refit."""
+        w11 = self.p_re + self.q_re
+        w22 = self.p_re - self.q_re
+        w21 = self.p_im - self.q_im
+        w12 = -(self.p_im + self.q_im)
+        return jnp.block([[w11, w12], [w21, w22]])
+
 
 def estimate_chirp(features, labels_ri) -> jnp.ndarray:
     """|label|-weighted LSQ estimate of the local fringe wavevector k.
@@ -189,7 +199,7 @@ def estimate_chirp(features, labels_ri) -> jnp.ndarray:
 
 
 def fit_complex(params: ComplexKernelParams, features, labels,
-                chirp: bool = False) -> ComplexTrainState:
+                chirp: bool = False, w_warm=None) -> ComplexTrainState:
     """Factorize the augmented training system (TrainingComplexKernel ctor,
     complex_kernel.cpp:221-268).  ``labels`` is (N, 2) RI.
 
@@ -214,7 +224,7 @@ def fit_complex(params: ComplexKernelParams, features, labels,
         P = [(W11 + W22) + i (W21 - W12)] / 2
         Q = [(W11 - W22) - i (W21 + W12)] / 2
     """
-    from gple_tpu.ops.linalg import psd_inverse
+    from gple_tpu.ops.linalg import psd_inverse, psd_inverse_warm
 
     labels = jnp.asarray(labels)
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-30)
@@ -229,7 +239,7 @@ def fit_complex(params: ComplexKernelParams, features, labels,
     n = features.shape[-2]
     k64, kt_re64, kt_im64 = covariance_matrices(params, features, features, same=True)
     m = jnp.block([[k64 + kt_re64, kt_im64], [kt_im64, k64 - kt_re64]])
-    w = psd_inverse(m)
+    w = psd_inverse(m) if w_warm is None else psd_inverse_warm(m, w_warm)
     w11, w12 = w[:n, :n], w[:n, n:]
     w21, w22 = w[n:, :n], w[n:, n:]
     p_re = 0.5 * (w11 + w22)

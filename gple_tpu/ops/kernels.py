@@ -159,13 +159,16 @@ class RealTrainState(NamedTuple):
     alpha: jnp.ndarray           # (N,) K^-1 labels (rescaled)
 
 
-def fit_real(params: KernelParams, features, labels_raw) -> RealTrainState:
+def fit_real(params: KernelParams, features, labels_raw,
+             kinv_warm=None) -> RealTrainState:
     """Factorize the training kernel (reference TrainingKernel ctor).
 
     ``labels_raw`` may be complex; only the real part carries information for
-    diagonal elements (kernel.cpp:279-283).
+    diagonal elements (kernel.cpp:279-283).  ``kinv_warm`` (the previous
+    tick's inverse) switches the TPU inverse to the warm-started
+    Newton-Schulz (ops/linalg.py) -- the per-tick refit path.
     """
-    from gple_tpu.ops.linalg import psd_inverse, refine_solve
+    from gple_tpu.ops.linalg import psd_inverse, psd_inverse_warm, refine_solve
 
     labels_real = jnp.real(labels_raw)
     # clip guards the all-zero-label case (inactive elements carry zeros by
@@ -174,7 +177,7 @@ def fit_real(params: KernelParams, features, labels_raw) -> RealTrainState:
     rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-30)
     y = labels_real * rescale
     k = kernel_matrix(params, features, features, same=True)
-    kinv = psd_inverse(k)
+    kinv = psd_inverse(k) if kinv_warm is None else psd_inverse_warm(k, kinv_warm)
     alpha = refine_solve(kinv, k, y, iters=3)
     return RealTrainState(
         params=params, features=features, labels=y, rescale=rescale,

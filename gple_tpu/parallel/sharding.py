@@ -66,7 +66,8 @@ def make_step_fn(model: str, mass: float, dt: float):
 
     def step(density: Density, gps: GPStates):
         new_density = evolve_step(model, mass, dt, density, gp_dist_all, gps)
-        new_gps = fit_gp_states(gps.diag.params, gps.offdiag.params, new_density)
+        new_gps = fit_gp_states(gps.diag.params, gps.offdiag.params, new_density,
+                                prev=gps)
         return new_density, new_gps
 
     return step

@@ -123,16 +123,40 @@ def fit_gp_states(
     diag_params: RK.KernelParams,
     offdiag_params: CK.ComplexKernelParams,
     density: Density,
+    prev: "GPStates" = None,
 ) -> GPStates:
     """Refactorize all element GPs from the current points (the reference
-    rebuilds TrainingKernels every tick, main.cpp:176)."""
+    rebuilds TrainingKernels every tick, main.cpp:176).
+
+    ``prev`` (the previous tick's states) warm-starts the TPU Newton-Schulz
+    inverses -- per-tick point motion is small, so the stale inverse is ~3
+    quadratic iterations from converged, skipping the 32-iteration cold
+    stage.  The warm path guards itself (ops/linalg.py) and falls back to a
+    cold factorization whenever the cloud jumped."""
     diag_idx = jnp.asarray(DIAG_INDICES)
-    diag = jax.vmap(RK.fit_real)(
-        diag_params, density.points[diag_idx], density.rho[diag_idx, :, 0]
-    )
-    off = CK.fit_complex(
-        offdiag_params, density.points[OFFDIAG_INDEX], density.rho[OFFDIAG_INDEX]
-    )
+    if prev is None:
+        diag = jax.vmap(RK.fit_real)(
+            diag_params, density.points[diag_idx], density.rho[diag_idx, :, 0]
+        )
+        off = CK.fit_complex(
+            offdiag_params, density.points[OFFDIAG_INDEX], density.rho[OFFDIAG_INDEX]
+        )
+    else:
+        # UNROLLED over the two diagonal elements: under vmap the warm
+        # path's lax.cond batches into a select that executes BOTH branches,
+        # which costs more than the cold path it was meant to skip
+        states = []
+        for d, elem in enumerate(DIAG_INDICES):
+            p = jax.tree.map(lambda a: a[d], diag_params)
+            states.append(RK.fit_real(
+                p, density.points[elem], density.rho[elem, :, 0],
+                kinv_warm=prev.diag.kinv[d],
+            ))
+        diag = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        off = CK.fit_complex(
+            offdiag_params, density.points[OFFDIAG_INDEX],
+            density.rho[OFFDIAG_INDEX], w_warm=prev.offdiag.augmented_inverse(),
+        )
     return GPStates(diag=diag, offdiag=off, active=density.active)
 
 

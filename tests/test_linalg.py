@@ -63,11 +63,24 @@ def test_refined_solve_accuracy():
 
 
 def test_newton_schulz_fallback_moderate_cond():
-    """The NS reference path still works at moderate conditioning."""
+    """The NS path's production contract at moderate conditioning: the raw
+    inverse residual stays within the variance/cutoff tolerance (the only
+    consumer of the raw inverse) and ``refine_solve`` reaches full f64
+    accuracy through it.  With the single f64 continuation iteration the
+    floor is the squared f32 floor -- measured ~2e-2 at cond ~1e5, a <2%
+    variance error at the conditioning edge the pinned noise admits; the
+    cutoff smoothstep (1..2 sigma) is insensitive at that level."""
+    from gple_tpu.ops.linalg import refine_solve
+
     k = gram_like(128, 0.4)  # cond ~1e4-1e5
-    x = np.asarray(_newton_schulz_inverse(k))
-    res = np.abs(np.asarray(k) @ x - np.eye(128)).max()
-    assert res < 1e-5
+    x = jnp.asarray(_newton_schulz_inverse(k))
+    res = np.abs(np.asarray(k) @ np.asarray(x) - np.eye(128)).max()
+    assert res < 5e-2
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.normal(size=128))
+    sol = refine_solve(x, jnp.asarray(k), y, iters=5)
+    resid = float(jnp.max(jnp.abs(jnp.asarray(k) @ sol - y)))
+    assert resid < 1e-9, resid
 
 
 def test_custom_jvp_exact():
@@ -81,3 +94,24 @@ def test_custom_jvp_exact():
     kinv = np.asarray(psd_inverse(k))
     expect = -kinv @ np.asarray(dk) @ kinv
     np.testing.assert_allclose(np.asarray(jvp), expect, atol=1e-10)
+
+
+def test_warm_newton_schulz_converges_and_guards():
+    """Warm start from a slightly-stale inverse reaches full accuracy in the
+    3 quadratic iterations; a garbage warm start triggers the cold fallback."""
+    from gple_tpu.ops.linalg import _newton_schulz_inverse, _newton_schulz_warm
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(96, 96))
+    k0 = jnp.asarray(a @ a.T + 96 * np.eye(96))
+    kinv0 = _newton_schulz_inverse(k0)
+    # "next tick": small symmetric perturbation of K
+    b = rng.normal(size=(96, 96)) * 0.02
+    k1 = k0 + jnp.asarray(b + b.T)
+    warm = _newton_schulz_warm(k1, kinv0)
+    resid = float(jnp.max(jnp.abs(jnp.eye(96) - k1 @ warm)))
+    assert resid < 1e-9, resid
+    # garbage warm start: guard must fall back to the cold path
+    cold = _newton_schulz_warm(k1, jnp.full((96, 96), 1e6))
+    resid = float(jnp.max(jnp.abs(jnp.eye(96) - k1 @ cold)))
+    assert resid < 1e-9, resid
