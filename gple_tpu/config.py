@@ -67,6 +67,16 @@ class GPLEConfig:
     #: crossing it pumps the coherence to fill the purity budget, later it
     #: clips the growing coherence back (both observed on Tully A).
     purity_target: str = "measured"
+    #: Re-run the Metropolis displacement/autocorrelation tuning on every
+    #: drift-triggered cloud re-selection, like the reference re-tunes on
+    #: every ``monte_carlo_selection`` (mc.cpp:339-374).  A/B on the crossing
+    #: config (SAC x0=-2 p0=20 N=64, 240 ticks, same seed, 2026-08-17):
+    #: RMSE 0.051 -> 0.0355 -- the re-selection walk samples the transferred
+    #: density correctly only with a freshly tuned displacement.  The tuning
+    #: sweeps (~2000 chain steps through the backward-branching predictor per
+    #: re-selection) are batched scans; the measured wall cost is a few
+    #: seconds per re-selection.
+    mc_retune: bool = True
     #: Run-for-run comparable to the reference: forces ``evolve_cutoff=True``
     #: (main.cpp:75-101), ``purity_target="initial"`` (main.cpp:65), and pins
     #: the complex-kernel correlation at rho = 1 (complex_kernel.h:12-13)
@@ -79,6 +89,7 @@ class GPLEConfig:
         if self.reference_parity:
             object.__setattr__(self, "evolve_cutoff", True)
             object.__setattr__(self, "purity_target", "initial")
+            object.__setattr__(self, "mc_retune", True)
 
     # -- derived quantities (reference input.cpp:25-77) -----------------------
     @property

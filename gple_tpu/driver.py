@@ -433,7 +433,7 @@ class GPLEDriver:
             # way, new_point_predict at mc.cpp:497-517)
             p, r, self.mc_params[k] = mc.element_monte_carlo(
                 self._split(), self._new_pt_dists[k], self.gps,
-                density.points[k], self.mc_params[k], tune=False,
+                density.points[k], self.mc_params[k], tune=self.cfg.mc_retune,
             )
             pts[k], rho[k] = np.asarray(p), np.asarray(r)
             changed = True

@@ -45,7 +45,13 @@ NS_F32_MAX_ITERS = 32
 #: matmuls are EMULATED (f32-pair) on the axon v5e at ~10x f32 cost, so each
 #: saved iteration is ~2 full f32-stage sweeps: 6 -> 2 cut the N = 1024
 #: fit+evolve step from 257 to (measured below) ms.
-NS_F64_MAX_ITERS = 1
+NS_F64_MAX_ITERS = 2
+#: f64 iterations for the WARM per-tick path: the warm guard admits only
+#: residuals < 0.5 and per-tick production residuals are ~0.03 at kappa <=
+#: ~1e5 (beyond that the guard trips to the cold path), so the 2 f32 warm
+#: steps reach the f32 floor and ONE f64 squaring suffices for every
+#: raw-inverse consumer; alpha/v finish in refine_solve
+NS_F64_WARM_ITERS = 1
 #: convergence target on max|I - K X| (adaptive variant only)
 NS_TOL = 1e-8
 
@@ -210,7 +216,7 @@ def _ns_warm_finish(k, x_warm, f64_iters: int):
     return 0.5 * (x + x.T)
 
 
-def _newton_schulz_warm(k, x_warm, iters: int = NS_F64_MAX_ITERS):
+def _newton_schulz_warm(k, x_warm, iters: int = NS_F64_WARM_ITERS):
     """Warm-started Newton-Schulz: the per-tick refit inverse.
 
     Between ticks the training points move by O(dt p / m) and the

@@ -9,8 +9,10 @@ main.cpp:135-202 vs schrodinger_equation/general.cpp:204-277).
 Guards the round-1 accuracy work (RMSE 0.353 -> ~0.05): a regression of the
 evolution scheme, element activation, or cloud tracking pushes the RMSE far
 past the pinned band.  Measured on this config (2026-08-17, single CPU core):
-RMSE ~= 0.051, final ground population 0.553 vs DVR 0.464, 2 element
-activations, 3 drift-triggered cloud re-selections, ~3 min.
+RMSE ~= 0.051 with mc_retune=False (3 re-selections), 0.0355 with the
+mc_retune=True default (4 re-selections, ~5.5 min) -- re-tuning the
+Metropolis displacement at each drift re-selection samples the transferred
+density correctly.
 """
 
 import numpy as np
