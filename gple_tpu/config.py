@@ -77,6 +77,15 @@ class GPLEConfig:
     #: re-selection) are batched scans; the measured wall cost is a few
     #: seconds per re-selection.
     mc_retune: bool = True
+    #: Hyperparameter strategy per (re)optimization: "moment" sets moment-
+    #: based parameters directly (|label|-weighted cloud std / 2, corr = 0,
+    #: analytic magnitudes, no search); "ladder" runs the reference-style
+    #: constrained restart ladder (opt.cpp:1019-1392).  A/B on the crossing
+    #: config (SAC x0=-2 p0=20 N=64, 240 ticks, same seed, 2026-08-17,
+    #: benchmarks/moment_opt_ab.py): moment RMSE 0.0188 vs ladder 0.0355 at
+    #: 2.6x less wall time -- the constraints pin GP totals at the expense of
+    #: the lengthscales the evolution reads.
+    opt_mode: str = "moment"
     #: Run-for-run comparable to the reference: forces ``evolve_cutoff=True``
     #: (main.cpp:75-101), ``purity_target="initial"`` (main.cpp:65), and pins
     #: the complex-kernel correlation at rho = 1 (complex_kernel.h:12-13)
@@ -90,6 +99,7 @@ class GPLEConfig:
             object.__setattr__(self, "evolve_cutoff", True)
             object.__setattr__(self, "purity_target", "initial")
             object.__setattr__(self, "mc_retune", True)
+            object.__setattr__(self, "opt_mode", "ladder")
 
     # -- derived quantities (reference input.cpp:25-77) -----------------------
     @property

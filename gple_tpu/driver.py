@@ -266,11 +266,13 @@ class GPLEDriver:
             purity=self.purity, sigma_r0=np.asarray(cfg.sigma_r0), seed=cfg.seed,
             lbfgs_steps=cfg.opt_steps_initial,
             corr_bounds=(1.0, 1.0) if cfg.reference_parity else Optimizer.corr_bounds,
+            opt_mode=cfg.opt_mode,
         )
         self.opt_result = self.optimizer.optimize(density, extra, energies)
         # in-trajectory reopts warm-start near the optimum: fewer steps
         self.optimizer.lbfgs_steps = cfg.opt_steps_reopt
         self.gps = self._refit(density)
+        self._record_fit_ref(self.purity)
         self.density = density
         self.extra = extra
         return density
@@ -293,6 +295,29 @@ class GPLEDriver:
     def _refit(self, density: Density) -> GPStates:
         diag_params, off_params = self.optimizer.fitted_params()
         return fit_gp_states(diag_params, off_params, density)
+
+    def _record_fit_ref(self, target_purity: float) -> None:
+        """Snapshot the freshly fitted GP's integral observables.
+
+        The in-trajectory drift checks compare against these REFERENCE values
+        rather than the ideal targets: under the constrained ladder the two
+        coincide (population = 1, purity = target within tolerance), but the
+        moment-mode fit carries a systematic small-N integral bias (the GP
+        mean dips between sample points), and triggering on the bias itself
+        would force a futile reoptimize-and-reselect every chunk."""
+        self._fit_ref = {
+            "pop": float(self.gps.population()),
+            "pur": float(self.gps.purity()),
+            "target": max(float(target_purity), 1e-30),
+        }
+
+    def _drift_detected(self, pop: float, pur: float, target_purity: float) -> bool:
+        """Conservation-drift trigger (main.cpp:174-189), relative form."""
+        ref = self._fit_ref
+        tol = 2.0 * AVERAGE_TOLERANCE
+        pop_ok = (1.0 - tol) < pop / ref["pop"] < (1.0 + tol)
+        pur_cap = (1.0 + tol) * target_purity * (ref["pur"] / ref["target"])
+        return pur > pur_cap or not pop_ok
 
     # -- a chunk of pure evolve ticks in one dispatch -------------------------------
     def _advance_chunk(self, n_ticks: int) -> bool:
@@ -322,9 +347,7 @@ class GPLEDriver:
         target_purity = (
             measured_purity if cfg.purity_target == "measured" else self.purity
         )
-        tol = 2.0 * AVERAGE_TOLERANCE
-        pop, pur = float(pop), float(pur)
-        if pur > (1.0 + tol) * target_purity or not (1.0 - tol < pop < 1.0 + tol):
+        if self._drift_detected(float(pop), float(pur), target_purity):
             self._reoptimize(target_purity)
         return True
 
@@ -339,6 +362,7 @@ class GPLEDriver:
         self.optimizer.purity = target_purity
         self.opt_result = self.optimizer.optimize(density, self.extra, energies)
         self.gps = self._refit(density)
+        self._record_fit_ref(target_purity)
         dist_elems = GP_DIST_ELEMS if cfg.evolve_cutoff else GP_DIST_ELEMS_NOCUT
         self.extra = self._make_extra(density, dist_elems, self.gps)
         self.phase_times["optimize"] += _time.perf_counter() - t0
@@ -381,11 +405,8 @@ class GPLEDriver:
             t0 = _time.perf_counter()
             self.density, self.extra = density, extra
             self.gps = new_gps
-            pop = float(pop)
-            pur = float(pur)
             self.phase_times["refit"] += _time.perf_counter() - t0
-            tol = 2.0 * AVERAGE_TOLERANCE
-            if pur > (1.0 + tol) * target_purity or not (1.0 - tol < pop < 1.0 + tol):
+            if self._drift_detected(float(pop), float(pur), target_purity):
                 needs_opt = True
                 opt_type = "drift"
         if needs_opt:

@@ -434,6 +434,15 @@ class Optimizer:
     #: linesearch); "default" runs it on the session backend (TPU: scan-based
     #: fixed-fan linesearch, one long first compile)
     device: str = "cpu"
+    #: "ladder" runs the reference-style constrained restart ladder
+    #: (opt.cpp:1019-1392); "moment" sets moment-based hyperparameters
+    #: directly (lengths = |label|-weighted cloud std / 2, corr = 0, analytic
+    #: magnitudes) with no iterative search.  Measured on Tully SAC crossing
+    #: runs (benchmarks/moment_opt_ab.py): moment halves the population RMSE
+    #: vs the ladder (0.0188 vs 0.0355 at N=64) at a fraction of the cost --
+    #: the conservation constraints pin GP *totals* but distort the
+    #: lengthscales that control the fit the evolution actually reads.
+    opt_mode: str = "moment"
 
     def __post_init__(self):
         self.sigma_r0 = np.asarray(self.sigma_r0, dtype=np.float64)
@@ -524,6 +533,8 @@ class Optimizer:
     def _optimize_impl(self, density: Density, extra: Density, surface_energies) -> OptResult:
         data, off_active = self._pack_data(density, extra, surface_energies)
         self._tick += 1
+        if self.opt_mode == "moment":
+            return self._moment_impl(density, data)
 
         def run(start_diag, start_off, tag):
             # the warm stage reuses the previous reopt's converged Lagrange
@@ -560,6 +571,51 @@ class Optimizer:
         goff = np.concatenate([[1.0], gdiag[0], [1.0], gdiag[0], [0.0]])
         res3 = run(*clipped(gdiag, goff), "global")
         res = self._compare(res, res3)
+        return self._finish(res, data)
+
+    # -- moment-based hyperparameters (opt_mode="moment") ---------------------------
+    @staticmethod
+    def _weighted_std(points, weights):
+        """|weight|-weighted per-axis standard deviation of a point cloud."""
+        w = np.maximum(np.abs(np.asarray(weights)), 1e-30)
+        pts = np.asarray(points)
+        mu = (pts * w[:, None]).sum(0) / w.sum()
+        var = (((pts - mu) ** 2) * w[:, None]).sum(0) / w.sum()
+        return np.sqrt(np.maximum(var, MIN_CHAR_LENGTH**2))
+
+    def _moment_impl(self, density: Density, data) -> OptResult:
+        """Moment-based hyperparameters: no search, no constraints.
+
+        Lengthscales are the |label|-weighted cloud std / 2 per axis (the
+        scale over which the density actually varies), Re/Im treated
+        independently (corr = 0), magnitudes analytic.  Beats the constrained
+        ladder on measured crossing accuracy (see class docstring) because it
+        tracks the *shape* each reoptimization instead of trading shape
+        fidelity for integral constraints the MC estimator satisfies anyway."""
+        pts = np.asarray(density.points)
+        rho = np.asarray(density.rho)
+        active = np.asarray(density.active)
+        diag = np.array(self.diag_lengths, dtype=np.float64)
+        for d, k in enumerate(DIAG_INDICES):
+            if active[k]:
+                diag[d] = self._weighted_std(pts[k], rho[k, :, 0]) / 2.0
+        off = np.asarray(self._initial_off())
+        if active[OFFDIAG_INDEX]:
+            o, orho = pts[OFFDIAG_INDEX], rho[OFFDIAG_INDEX]
+            lr = self._weighted_std(o, orho[:, 0]) / 2.0
+            li = self._weighted_std(o, orho[:, 1]) / 2.0
+            mr = float(np.sqrt(np.mean(orho[:, 0] ** 2)) + 1e-30)
+            mi = float(np.sqrt(np.mean(orho[:, 1] ** 2)) + 1e-30)
+            off = np.concatenate([[mr], lr, [mi], li, [0.0]])
+        else:
+            off = np.asarray(self.off_params)
+        err = float(_diag_loss(jnp.asarray(diag), data)) + float(
+            _off_loss(jnp.asarray(off), data)
+        )
+        res = dict(
+            diag_lengths=diag, off_params=off, error=err, tag="moment",
+            lam=self._al_lam if self._al_lam is not None else np.zeros((2, 3)),
+        )
         return self._finish(res, data)
 
     def _check_averages(self, avgs, off_active) -> np.ndarray:

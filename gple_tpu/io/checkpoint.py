@@ -76,6 +76,10 @@ def load_checkpoint(path: str, driver) -> int:
             diag_magnitudes=np.asarray(z["diag_magnitudes"]),
             off_magnitude=float(z["off_magnitude"]),
             seed=driver.cfg.seed,
+            lbfgs_steps=driver.cfg.opt_steps_reopt,
+            corr_bounds=(1.0, 1.0) if driver.cfg.reference_parity
+            else Optimizer.corr_bounds,
+            opt_mode=driver.cfg.opt_mode,
         )
         driver.mc_params = [
             MCParameters(num_steps=int(s), displacement=float(d))
@@ -83,5 +87,16 @@ def load_checkpoint(path: str, driver) -> int:
         ]
         tick = int(z["tick"])
     driver.gps = driver._refit(driver.density)
+    if driver.cfg.purity_target == "measured":
+        from gple_tpu import observables as OBS
+        from gple_tpu.utils.constants import purity_factor
+
+        target = float(
+            jnp.sum(OBS.purity_each_element(driver.density))
+            * purity_factor(driver.cfg.dim) * driver.purity_ratio
+        )
+    else:
+        target = driver.purity
+    driver._record_fit_ref(target)
     driver.opt_result = type("R", (), {"error": 0.0, "opt_type": "resumed"})()
     return tick

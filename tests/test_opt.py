@@ -58,7 +58,7 @@ def opt_run():
     total_energy = float(energies[0])
     optimizer = Optimizer(
         model=MODEL, mass=MASS, total_energy=total_energy, purity=1.0,
-        sigma_r0=SIGMA, lbfgs_steps=40,
+        sigma_r0=SIGMA, lbfgs_steps=40, opt_mode="ladder",
     )
     result = optimizer.optimize(density, extra, energies)
     return optimizer, result, density, energies, total_energy
@@ -108,3 +108,52 @@ def test_result_metadata(opt_run):
     _, result, _, _, _ = opt_run
     assert result.opt_type in ("local_previous", "local_initial", "global")
     assert np.isfinite(result.error)
+
+
+# -- moment-based mode (opt_mode="moment", the measured-accuracy default) ----------
+
+
+@pytest.fixture(scope="module")
+def moment_run():
+    density, extra = sampled_density()
+    energies = total_energy_each_surface(MODEL, density, MASS)
+    optimizer = Optimizer(
+        model=MODEL, mass=MASS, total_energy=float(energies[0]), purity=1.0,
+        sigma_r0=SIGMA, opt_mode="moment",
+    )
+    result = optimizer.optimize(density, extra, energies)
+    return optimizer, result, density
+
+
+def test_moment_fit_quality(moment_run):
+    """Moment-based params must fit the sampled Gaussian on its points."""
+    optimizer, result, density = moment_run
+    diag_params, off_params = optimizer.fitted_params()
+    states = fit_gp_states(diag_params, off_params, density)
+    state0 = jax.tree.map(lambda a: a[0], states.diag)
+    mean, _, _ = RK.predict_real(state0, density.points[0])
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(density.rho[0][:, 0]),
+        atol=2e-3 * float(jnp.max(density.rho[0][:, 0])),
+    )
+
+
+def test_moment_lengths_track_cloud(moment_run):
+    """Lengths = |label|-weighted cloud std / 2 on the active element."""
+    optimizer, _, density = moment_run
+    lens = Optimizer._weighted_std(
+        np.asarray(density.points[0]), np.asarray(density.rho[0][:, 0])
+    ) / 2.0
+    np.testing.assert_allclose(optimizer.diag_lengths[0], lens, rtol=1e-12)
+    # inactive diagonal element keeps its previous (initial) lengths
+    np.testing.assert_allclose(optimizer.diag_lengths[1], SIGMA, rtol=1e-12)
+
+
+def test_moment_metadata(moment_run):
+    optimizer, result, _ = moment_run
+    assert result.opt_type == "moment"
+    assert np.isfinite(result.error)
+    # corr = 0: Re/Im treated independently
+    assert optimizer.off_params[-1] == 0.0
+    assert optimizer.diag_magnitudes[0] > 0
+    assert optimizer.diag_magnitudes[1] == 1.0
