@@ -47,11 +47,15 @@ def main():
         "pure GP interpolation capacity per element family",
     )
     ap.add_argument(
-        "--frame", default="static", choices=["static", "rotating", "chirp"],
+        "--frame", default="static", choices=["static", "rotating", "chirp", "carried"],
         help="rotating: fit the coherence GP in the frame e^{+i dE(x) t / "
         "hbar} that unwinds the secular phase accumulation -- the coherence "
         "field's spatial fringe frequency grows ~ t d(dE)/dx, which a "
-        "stationary RBF kernel cannot track; the envelope stays smooth",
+        "stationary RBF kernel cannot track; the envelope stays smooth. "
+        "carried: each point carries its own phase integrated along its OWN "
+        "trajectory (midpoint rule on dE(x)/hbar); the GP fits the "
+        "demodulated amplitude, and the phi field itself is reconstructed at "
+        "query points by a weighted-linear detrend + real GP on the residual",
     )
     ap.add_argument("--frame-sign", type=float, default=1.0)
     ap.add_argument("--len-div", type=float, default=2.0,
@@ -156,6 +160,7 @@ def main():
 
     carried_labels = opts.labels == "carried"
     rotating = opts.frame == "rotating"
+    carried_frame = opts.frame == "carried"
     frame_sign = opts.frame_sign
 
     from gple_tpu.models import tully
@@ -166,10 +171,33 @@ def main():
         e = tully.adiabatic_potential(cfg.model, pts[..., 0])
         return (e[..., 1] - e[..., 0]) / HBAR
 
+    def _phi_field_fit(cloud_pts, phi, weights):
+        """Weighted linear detrend + real GP on the residual of the carried
+        phase field.  Returns (plane_coef, gp_state): the phase ramp steepens
+        ~ t d(dE)/dx, so the plane absorbs the secular gradient and the GP
+        only carries the smooth curvature."""
+        a = jnp.concatenate([jnp.ones((cloud_pts.shape[0], 1)), cloud_pts], axis=1)
+        aw = a * weights[:, None]
+        coef = jnp.linalg.solve(
+            a.T @ aw + 1e-10 * jnp.eye(3), aw.T @ phi
+        )
+        resid = phi - a @ coef
+        lens = _wstd(cloud_pts, weights) / opts.len_div
+        st = RK.fit_real(
+            RK.KernelParams(jnp.asarray(1.0), lens, jnp.asarray(0.01)),
+            cloud_pts, resid,
+        )
+        return coef, st
+
+    def _phi_field_read(coef, st, pts):
+        a = jnp.concatenate([jnp.ones((pts.shape[0], 1)), pts], axis=1)
+        resid, _, _ = RK.predict_real(st, pts, with_variance=False)
+        return a @ coef + resid
+
     def mixed_dist(carry, pts3):
         """Exact Wigner for elements outside the --gp set; GP for those
         inside, fit to exact or carried labels at the cloud points."""
-        w_ri, cloud, cloud_rho, t_now = carry
+        w_ri, cloud, cloud_rho, t_now, phi = carry
         out = wig_dist(w_ri, pts3)
         exact_cloud = cloud_rho if carried_labels else wig_dist(w_ri, cloud)
         if gp_diag:
@@ -190,6 +218,12 @@ def main():
             if rotating:
                 # unwind e^{-i dE(x) t} accumulated by the carried evolution
                 labels = ri.phase_mul(labels, frame_sign * gap_rate(cloud[1]) * t_now)
+            phi_coef = phi_st = None
+            if carried_frame:
+                # demodulate by each point's OWN integrated phase
+                labels = ri.phase_mul(labels, -phi)
+                w_abs0 = jnp.sqrt(jnp.sum(exact_cloud[1] ** 2, -1)) + 1e-30
+                phi_coef, phi_st = _phi_field_fit(cloud[1], phi, w_abs0)
             w_abs = jnp.sqrt(jnp.sum(labels**2, -1))
             lr = _wstd(cloud[1], labels[:, 0]) / opts.len_div
             li = _wstd(cloud[1], labels[:, 1]) / opts.len_div
@@ -206,6 +240,8 @@ def main():
             mean, _, _ = CK.predict_complex(st, pts3[1], with_variance=False)
             if rotating:
                 mean = ri.phase_mul(mean, -frame_sign * gap_rate(pts3[1]) * t_now)
+            if carried_frame:
+                mean = ri.phase_mul(mean, _phi_field_read(phi_coef, phi_st, pts3[1]))
             if opts.anchor:
                 scale = jnp.std(cloud[1], axis=0) + 1e-30
                 d2 = jnp.sum(
@@ -221,21 +257,28 @@ def main():
 
     if opts.gp == "none":
         evolve = jax.jit(
-            lambda dens, w, t: EV.evolve_step(cfg.model, cfg.mass, cfg.dt, dens, wig_dist, w)
+            lambda dens, w, t, phi: EV.evolve_step(cfg.model, cfg.mass, cfg.dt, dens, wig_dist, w)
         )
     else:
         evolve = jax.jit(
-            lambda dens, w, t: EV.evolve_step(
+            lambda dens, w, t, phi: EV.evolve_step(
                 cfg.model, cfg.mass, cfg.dt, dens, mixed_dist,
-                (w, dens.points, dens.rho, t),
+                (w, dens.points, dens.rho, t, phi),
             )
         )
 
     records = []
     t_start = time.time()
+    phi = jnp.zeros(cfg.num_points)
     for k in range(opts.ticks):
         w_k = exact_wigner_ri(k * cfg.dt)
-        density = evolve(density, w_k, jnp.asarray(k * cfg.dt))
+        x_before = density.points[1, :, 0]
+        density = evolve(density, w_k, jnp.asarray(k * cfg.dt), phi)
+        # integrate each coherence point's own phase (midpoint rule): the
+        # carried evolution multiplies rho10 by e^{-i dE(x)/hbar dt} per tick
+        x_mid = 0.5 * (x_before + density.points[1, :, 0])
+        e_mid = tully.adiabatic_potential(cfg.model, x_mid)
+        phi = phi - (e_mid[:, 1] - e_mid[:, 0]) / HBAR * cfg.dt
         t_next = (k + 1) * cfg.dt
         w_next = exact_wigner_ri(t_next)
         exact_at_pts = wig_dist(w_next, density.points)

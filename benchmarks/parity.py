@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--output-time", type=float, default=10.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--max-ticks", type=int, default=None)
+    ap.add_argument("--opt-mode", default=None, choices=["moment", "ladder"],
+                    help="override GPLEConfig.opt_mode for A/B parity runs")
     opts = ap.parse_args()
 
     import jax
@@ -48,6 +50,7 @@ def main():
         model=opts.model, mass=2000.0, x0=opts.x0, p0=opts.p0,
         sigma_p0=opts.sigma_p, output_time=opts.output_time,
         reopt_time=opts.reopt_time, dt=opts.dt, num_points=opts.n,
+        **({"opt_mode": opts.opt_mode} if opts.opt_mode else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(
