@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--max-ticks", type=int, default=None)
     ap.add_argument("--opt-mode", default=None, choices=["moment", "ladder"],
                     help="override GPLEConfig.opt_mode for A/B parity runs")
+    ap.add_argument("--moment-per-tick", type=int, default=None, choices=[0, 1],
+                    help="override GPLEConfig.moment_per_tick")
     opts = ap.parse_args()
 
     import jax
@@ -51,6 +53,8 @@ def main():
         sigma_p0=opts.sigma_p, output_time=opts.output_time,
         reopt_time=opts.reopt_time, dt=opts.dt, num_points=opts.n,
         **({"opt_mode": opts.opt_mode} if opts.opt_mode else {}),
+        **({"moment_per_tick": bool(opts.moment_per_tick)}
+           if opts.moment_per_tick is not None else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(

@@ -86,6 +86,16 @@ class GPLEConfig:
     #: 2.6x less wall time -- the constraints pin GP totals at the expense of
     #: the lengthscales the evolution reads.
     opt_mode: str = "moment"
+    #: With ``opt_mode="moment"``: recompute the moment-based kernel
+    #: parameters from the moved cloud INSIDE every fused tick (closed-form,
+    #: jittable -- gp/opt.py:moment_kernel_params) instead of freezing them
+    #: between reoptimizations.  Measured WORSE on the SAC crossing config
+    #: (RMSE 0.067 vs 0.049 frozen, x0=-2 N=64 dt=1, 2026-08-17): lengths
+    #: that track the cloud every tick co-evolve with the carried-label rot
+    #: and amplify the fit-evolve feedback, while parameters frozen at the
+    #: last reoptimization act as a stabilizer.  Kept as an option; ignored
+    #: under ``opt_mode="ladder"``.
+    moment_per_tick: bool = False
     #: Run-for-run comparable to the reference: forces ``evolve_cutoff=True``
     #: (main.cpp:75-101), ``purity_target="initial"`` (main.cpp:65), and pins
     #: the complex-kernel correlation at rho = 1 (complex_kernel.h:12-13)

@@ -32,7 +32,7 @@ import numpy as np
 from gple_tpu import observables as OBS
 from gple_tpu.config import GPLEConfig
 from gple_tpu.dynamics import evolve as EV
-from gple_tpu.gp.opt import AVERAGE_TOLERANCE, Optimizer
+from gple_tpu.gp.opt import AVERAGE_TOLERANCE, Optimizer, moment_kernel_params
 from gple_tpu.io.writers import OutputWriters
 from gple_tpu.ops import complex_kernels as CK
 from gple_tpu.ops import kernels as RK
@@ -91,10 +91,10 @@ def init_dist_all(params, pts3):
     return jnp.stack([INIT_DIST_ELEMS[k](params, pts3[k]) for k in range(NUM_ELEMENTS)])
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9))
 def _tick_fused(model: str, mass: float, dt: float, density: Density,
                 extra: Density, gps: GPStates, diag_params, off_params,
-                evolve_dist=gp_dist_all_nocut):
+                evolve_dist=gp_dist_all_nocut, track_moments: bool = False):
     """One tick's device work in ONE dispatch: evolve density + extra points,
     the is-very-small test, the GP refactorization from the moved points, and
     the drift-check scalars.  The per-tick host loop then costs a single
@@ -107,16 +107,21 @@ def _tick_fused(model: str, mass: float, dt: float, density: Density,
     new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
     new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
     small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
+    if track_moments:
+        diag_params, off_params = moment_kernel_params(
+            new_density, diag_params, off_params
+        )
     new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps)
     mc_purity = jnp.sum(OBS.purity_each_element(new_density))
     return (new_density, new_extra, small, new_gps, new_gps.population(),
             new_gps.purity(), mc_purity)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10))
 def _ticks_scan(model: str, mass: float, dt: float, density: Density,
                 extra: Density, gps: GPStates, diag_params, off_params,
-                n_ticks: int, evolve_dist=gp_dist_all_nocut):
+                n_ticks: int, evolve_dist=gp_dist_all_nocut,
+                track_moments: bool = False):
     """A whole CHUNK of ticks in ONE dispatch: ``lax.scan`` over
     evolve+refit, carrying (density, extra, gps).  Per-tick activation flags
     are stacked out so the host can detect an element change mid-chunk and
@@ -130,7 +135,11 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
         new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
         new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
         small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
-        new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps)
+        dgp, ogp = (
+            moment_kernel_params(new_density, diag_params, off_params)
+            if track_moments else (diag_params, off_params)
+        )
+        new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps)
         return (new_density, new_extra, new_gps), small
 
     (density, extra, gps), smalls = jax.lax.scan(
@@ -199,6 +208,12 @@ class GPLEDriver:
         #: density-matrix elements, drift-triggered cloud re-selections) --
         #: lets tests assert the crossing physics actually fired
         self.stats = {"element_activations": 0, "cloud_reselections": 0}
+        #: per-tick moment hyperparameter tracking (only meaningful under the
+        #: moment optimizer -- the ladder's constrained params must not be
+        #: overwritten mid-flight)
+        self._track_moments = bool(
+            cfg.moment_per_tick and cfg.opt_mode == "moment"
+        )
         # per-driver new-point distribution functions (stable identities)
         self._new_pt_dists = tuple(
             partial(self._new_point_dist, elem=k) for k in range(NUM_ELEMENTS)
@@ -335,7 +350,7 @@ class GPLEDriver:
         evolve_dist = gp_dist_all if cfg.evolve_cutoff else gp_dist_all_nocut
         density, extra, gps, smalls, pop, pur, mc_pur = _ticks_scan(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, self.gps,
-            diag_params, off_params, n_ticks, evolve_dist,
+            diag_params, off_params, n_ticks, evolve_dist, self._track_moments,
         )
         smalls = np.asarray(smalls)
         active = np.asarray(self.density.active)
@@ -379,7 +394,7 @@ class GPLEDriver:
         evolve_dist = gp_dist_all if cfg.evolve_cutoff else gp_dist_all_nocut
         density, extra, small, new_gps, pop, pur, mc_pur = _tick_fused(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, gps,
-            diag_params, off_params, evolve_dist,
+            diag_params, off_params, evolve_dist, self._track_moments,
         )
         small = np.asarray(small)
         self.phase_times["evolve"] += _time.perf_counter() - t0

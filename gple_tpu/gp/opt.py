@@ -76,6 +76,55 @@ AL_MU0 = 1e3
 AL_MU_GROWTH = 10.0
 
 
+def _wstd_jnp(points, weights):
+    """|weight|-weighted per-axis std of a cloud (jittable), floored."""
+    w = jnp.maximum(jnp.abs(weights), 1e-30)
+    mu = (points.T @ w) / jnp.sum(w)
+    var = (((points - mu) ** 2).T @ w) / jnp.sum(w)
+    return jnp.sqrt(jnp.maximum(var, MIN_CHAR_LENGTH**2))
+
+
+def moment_kernel_params(density: Density, prev_diag: "RK.KernelParams",
+                         prev_off: "CK.ComplexKernelParams"):
+    """Closed-form moment-based kernel parameters from the current cloud.
+
+    Jittable counterpart of ``Optimizer._moment_impl``'s parameter choice
+    (lengths = |label|-weighted cloud std / 2 per axis, off-diagonal sub-
+    kernel magnitudes = label RMS), used by the per-tick hyperparameter
+    tracking path (``GPLEConfig.moment_per_tick``): clouds stretch and drift
+    between reoptimizations, and lengths frozen at the last reopt mis-smooth
+    the fit the evolution reads.  Magnitudes/noise/corr carry over from
+    ``prev`` -- the GP MEAN the evolver queries is insensitive to the overall
+    magnitude, and inactive elements keep their previous parameters."""
+    diag_idx = jnp.asarray(DIAG_INDICES)
+    lens = jax.vmap(_wstd_jnp)(
+        density.points[diag_idx], density.rho[diag_idx, :, 0]
+    ) / 2.0
+    act_d = density.active[diag_idx][:, None]
+    diag = RK.KernelParams(
+        magnitude=prev_diag.magnitude,
+        lengths=jnp.where(act_d, lens, prev_diag.lengths),
+        noise=prev_diag.noise,
+    )
+    o_pts = density.points[OFFDIAG_INDEX]
+    o_rho = density.rho[OFFDIAG_INDEX]
+    lr = _wstd_jnp(o_pts, o_rho[:, 0]) / 2.0
+    li = _wstd_jnp(o_pts, o_rho[:, 1]) / 2.0
+    mr = jnp.sqrt(jnp.mean(o_rho[:, 0] ** 2)) + 1e-30
+    mi = jnp.sqrt(jnp.mean(o_rho[:, 1] ** 2)) + 1e-30
+    act_o = density.active[OFFDIAG_INDEX]
+    off = CK.ComplexKernelParams(
+        magnitude=prev_off.magnitude,
+        real_magnitude=jnp.where(act_o, mr, prev_off.real_magnitude),
+        real_lengths=jnp.where(act_o, lr, prev_off.real_lengths),
+        imag_magnitude=jnp.where(act_o, mi, prev_off.imag_magnitude),
+        imag_lengths=jnp.where(act_o, li, prev_off.imag_lengths),
+        noise=prev_off.noise,
+        corr=prev_off.corr,
+    )
+    return diag, off
+
+
 def _sigmoid_to_bounds(z, lb, ub):
     return lb + (ub - lb) * jax.nn.sigmoid(z)
 

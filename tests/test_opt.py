@@ -157,3 +157,24 @@ def test_moment_metadata(moment_run):
     assert optimizer.off_params[-1] == 0.0
     assert optimizer.diag_magnitudes[0] > 0
     assert optimizer.diag_magnitudes[1] == 1.0
+
+
+def test_moment_kernel_params_jittable(moment_run):
+    """The per-tick tracking path (driver._tick_fused track_moments=True)
+    recomputes the same moment lengths as the host-side optimizer, under
+    jit, and inactive elements keep the previous parameters."""
+    from gple_tpu.gp.opt import moment_kernel_params
+
+    optimizer, _, density = moment_run
+    prev_diag, prev_off = optimizer.fitted_params()
+    diag, off = jax.jit(moment_kernel_params)(density, prev_diag, prev_off)
+    np.testing.assert_allclose(
+        np.asarray(diag.lengths[0]), optimizer.diag_lengths[0], rtol=1e-12
+    )
+    # inactive diagonal + off-diagonal elements carry the previous params
+    np.testing.assert_allclose(np.asarray(diag.lengths[1]), SIGMA, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(off.real_lengths), np.asarray(prev_off.real_lengths)
+    )
+    np.testing.assert_allclose(np.asarray(diag.magnitude),
+                               optimizer.diag_magnitudes)
