@@ -80,11 +80,13 @@ class GPLEConfig:
     #: Hyperparameter strategy per (re)optimization: "moment" sets moment-
     #: based parameters directly (|label|-weighted cloud std / 2, corr = 0,
     #: analytic magnitudes, no search); "ladder" runs the reference-style
-    #: constrained restart ladder (opt.cpp:1019-1392).  A/B on the crossing
-    #: config (SAC x0=-2 p0=20 N=64, 240 ticks, same seed, 2026-08-17,
-    #: benchmarks/moment_opt_ab.py): moment RMSE 0.0188 vs ladder 0.0355 at
-    #: 2.6x less wall time -- the constraints pin GP totals at the expense of
-    #: the lengthscales the evolution reads.
+    #: constrained restart ladder (opt.cpp:1019-1392).  Full-trajectory
+    #: head-to-head (SAC x0=-4 p0=20 N=256 dt=1, same seed, 2026-08-18,
+    #: benchmarks/parity.py): moment RMSE 0.0385 @ 1038 s vs ladder 0.0390
+    #: @ 5501 s -- equal accuracy at 5.3x less wall.  On the 240-tick
+    #: crossing segment alone the gap widens to 0.0188 vs 0.0355
+    #: (benchmarks/moment_opt_ab.py): the constraints pin GP totals at the
+    #: expense of the lengthscales the evolution reads.
     opt_mode: str = "moment"
     #: With ``opt_mode="moment"``: recompute the moment-based kernel
     #: parameters from the moved cloud INSIDE every fused tick (closed-form,

@@ -486,11 +486,13 @@ class Optimizer:
     #: "ladder" runs the reference-style constrained restart ladder
     #: (opt.cpp:1019-1392); "moment" sets moment-based hyperparameters
     #: directly (lengths = |label|-weighted cloud std / 2, corr = 0, analytic
-    #: magnitudes) with no iterative search.  Measured on Tully SAC crossing
-    #: runs (benchmarks/moment_opt_ab.py): moment halves the population RMSE
-    #: vs the ladder (0.0188 vs 0.0355 at N=64) at a fraction of the cost --
-    #: the conservation constraints pin GP *totals* but distort the
-    #: lengthscales that control the fit the evolution actually reads.
+    #: magnitudes) with no iterative search.  Measured on Tully SAC: equal
+    #: full-trajectory accuracy at 5.3x less wall (RMSE 0.0385 @ 1038 s vs
+    #: 0.0390 @ 5501 s, x0=-4 N=256, benchmarks/parity.py) and half the RMSE
+    #: on the 240-tick crossing segment (0.0188 vs 0.0355 at N=64,
+    #: benchmarks/moment_opt_ab.py) -- the conservation constraints pin GP
+    #: *totals* but distort the lengthscales that control the fit the
+    #: evolution actually reads.
     opt_mode: str = "moment"
 
     def __post_init__(self):
