@@ -270,6 +270,14 @@ def main():
     records = []
     t_start = time.time()
     phi = jnp.zeros(cfg.num_points)
+    # importance weights: the cloud was Metropolis-sampled from rho00(., 0),
+    # and each element's per-point flow is a leapfrog (symplectic, so
+    # volume-preserving) -- the sampling density at point k stays q_k =
+    # rho00(r_k(0), 0) along its whole trajectory.  pop_s(t) =
+    # E_q[rho_ss / q] = mean_k rho_ss(r_k, t) / q_k is then unbiased, unlike
+    # the normalized MC sum (predict.cpp:65-87 semantics) whose weights
+    # assume the cloud still tracks |rho_ss(., t)|.
+    q0 = jnp.maximum(rho[0, :, 0], 1e-12)
     for k in range(opts.ticks):
         w_k = exact_wigner_ri(k * cfg.dt)
         x_before = density.points[1, :, 0]
@@ -288,10 +296,12 @@ def main():
         # populations: mci estimator on the exactly-driven cloud vs DVR
         diag = np.asarray(density.rho[[0, 2], :, 0].sum(1))
         mci = diag / diag.sum()
+        imp = np.asarray(jnp.mean(density.rho[jnp.asarray([0, 2]), :, 0] / q0, axis=1))
         pop_exact = np.asarray(solver.populations(transform_h @ solver._spectral_evolve(t_next)))
         records.append(
             dict(t=t_next, value_err=(err / np.maximum(scale, 1e-30)).tolist(),
-                 mci0=float(mci[0]), dvr0=float(pop_exact[0]))
+                 mci0=float(mci[0]), dvr0=float(pop_exact[0]),
+                 imp0=float(imp[0]), imp0n=float(imp[0] / max(imp.sum(), 1e-30)))
         )
         if (k + 1) % 20 == 0:
             r = records[-1]
@@ -302,10 +312,14 @@ def main():
 
     mci = np.array([r["mci0"] for r in records])
     dvr = np.array([r["dvr0"] for r in records])
+    imp = np.array([r["imp0"] for r in records])
+    impn = np.array([r["imp0n"] for r in records])
     verr = np.array([r["value_err"] for r in records])
     out = {
         "metric": f"decomposed population RMSE vs DVR (gp={opts.gp}, labels={opts.labels})",
         "value": round(float(np.sqrt(np.mean((mci - dvr) ** 2))), 6),
+        "rmse_importance": round(float(np.sqrt(np.mean((imp - dvr) ** 2))), 6),
+        "rmse_importance_norm": round(float(np.sqrt(np.mean((impn - dvr) ** 2))), 6),
         "final_mci0": round(float(mci[-1]), 6),
         "final_dvr0": round(float(dvr[-1]), 6),
         "value_err_final": [round(float(v), 6) for v in verr[-1]],
