@@ -60,6 +60,11 @@ def main():
     ap.add_argument("--frame-sign", type=float, default=1.0)
     ap.add_argument("--len-div", type=float, default=2.0,
                     help="coherence GP lengths = weighted std / len_div")
+    ap.add_argument("--rotate", action="store_true",
+                    help="fit the coherence GP in the cloud's |label|-weighted "
+                    "principal-axis frame (a shared rotation for Re/Im): a "
+                    "restricted full-ARD kernel W = diag(1/l) R that can align "
+                    "to tilted post-crossing fringes")
     ap.add_argument("--anchor", action="store_true",
                     help="anchor coherence reads at the nearest cloud point's "
                     "carried value + GP difference (cross-element control "
@@ -218,6 +223,16 @@ def main():
             if rotating:
                 # unwind e^{-i dE(x) t} accumulated by the carried evolution
                 labels = ri.phase_mul(labels, frame_sign * gap_rate(cloud[1]) * t_now)
+            o_cloud, o_query = cloud[1], pts3[1]
+            if opts.rotate:
+                # |label|-weighted covariance principal axes of the cloud
+                wv = jnp.sqrt(jnp.sum(labels**2, -1)) + 1e-30
+                mu = (o_cloud.T @ wv) / jnp.sum(wv)
+                dc = o_cloud - mu
+                cov = (dc.T * wv) @ dc / jnp.sum(wv)
+                _, rot = jnp.linalg.eigh(cov)  # columns = principal axes
+                o_cloud = (o_cloud - mu) @ rot
+                o_query = (o_query - mu) @ rot
             phi_coef = phi_st = None
             if carried_frame:
                 # demodulate by each point's OWN integrated phase
@@ -225,8 +240,8 @@ def main():
                 w_abs0 = jnp.sqrt(jnp.sum(exact_cloud[1] ** 2, -1)) + 1e-30
                 phi_coef, phi_st = _phi_field_fit(cloud[1], phi, w_abs0)
             w_abs = jnp.sqrt(jnp.sum(labels**2, -1))
-            lr = _wstd(cloud[1], labels[:, 0]) / opts.len_div
-            li = _wstd(cloud[1], labels[:, 1]) / opts.len_div
+            lr = _wstd(o_cloud, labels[:, 0]) / opts.len_div
+            li = _wstd(o_cloud, labels[:, 1]) / opts.len_div
             params = CK.ComplexKernelParams(
                 magnitude=jnp.asarray(1.0),
                 real_magnitude=jnp.sqrt(jnp.mean(labels[:, 0] ** 2) + 1e-30),
@@ -236,8 +251,8 @@ def main():
                 noise=jnp.asarray(0.01),
                 corr=jnp.asarray(0.0),
             )
-            st = CK.fit_complex(params, cloud[1], labels, chirp=(opts.frame == "chirp"))
-            mean, _, _ = CK.predict_complex(st, pts3[1], with_variance=False)
+            st = CK.fit_complex(params, o_cloud, labels, chirp=(opts.frame == "chirp"))
+            mean, _, _ = CK.predict_complex(st, o_query, with_variance=False)
             if rotating:
                 mean = ri.phase_mul(mean, -frame_sign * gap_rate(pts3[1]) * t_now)
             if carried_frame:
