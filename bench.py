@@ -18,13 +18,37 @@ Prints exactly one JSON line.
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
 
-def _setup_jax():
+def _tunnel_alive(timeout_s: float = 90.0) -> bool:
+    """Probe the accelerator tunnel in a SUBPROCESS with a hard timeout.
+
+    The axon device plugin can hang indefinitely inside ``jax.devices()``
+    when its tunnel is down (observed 2026-08-17: even a trivial matmul
+    never returns), which would turn this benchmark into a silent hang.  A
+    subprocess probe converts that hang into a clean False."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "import sys; sys.exit(0 if d and d[0].platform != 'cpu' else 3)"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _setup_jax(force_cpu: bool = False):
     import jax
 
+    if force_cpu:
+        # must be set AFTER importing jax: the axon plugin force-overrides
+        # the JAX_PLATFORMS environment variable
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: axon AOT compiles are minutes-long for the
     # big fit+evolve graphs; cache them across processes
@@ -61,8 +85,8 @@ def measure(step_fn, args, n_warmup, n_steps):
     return (time.perf_counter() - t0) / n_steps, out
 
 
-def bench(n_points: int, n_steps: int, quick: bool):
-    _setup_jax()
+def bench(n_points: int, n_steps: int, quick: bool, force_cpu: bool = False):
+    _setup_jax(force_cpu)
     import jax
 
     import __graft_entry__ as g
@@ -77,6 +101,8 @@ def bench(n_points: int, n_steps: int, quick: bool):
     assert bool(jax.numpy.isfinite(out[0].rho).all())
 
     # host-CPU baseline timing (same algorithm, same compiler, host hardware)
+    if force_cpu:
+        return sec_acc, float("nan")
     try:
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
@@ -98,18 +124,22 @@ def main():
     n = opts.n or (256 if opts.quick else 1024)
     steps = opts.steps or (3 if opts.quick else 10)
 
-    sec_acc, sec_cpu = bench(n, steps, opts.quick)
+    force_cpu = not _tunnel_alive()
+    if force_cpu:
+        print("bench: accelerator tunnel unreachable, measuring on host CPU",
+              file=sys.stderr)
+        steps = max(1, steps // 4)
+    sec_acc, sec_cpu = bench(n, steps, opts.quick, force_cpu)
     vs = (sec_cpu / sec_acc) if sec_cpu == sec_cpu else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": f"GPR fit+evolve sec/step @ N={n}",
-                "value": round(sec_acc, 6),
-                "unit": "s/step",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+    result = {
+        "metric": f"GPR fit+evolve sec/step @ N={n}",
+        "value": round(sec_acc, 6),
+        "unit": "s/step",
+        "vs_baseline": round(vs, 3),
+    }
+    if force_cpu:
+        result["platform"] = "cpu-fallback (accelerator tunnel down at run time)"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
