@@ -38,6 +38,13 @@ def main(argv=None):
     g.add_argument("--checkpoint-every", type=int, default=0)
     g.add_argument("--resume", default=None)
     g.add_argument("--quiet", action="store_true")
+    g.add_argument("--opt-mode", default=None, choices=["moment", "ladder"],
+                   help="hyperparameter strategy (default: moment; see "
+                   "GPLEConfig.opt_mode)")
+    g.add_argument("--reference-parity", action="store_true",
+                   help="run-for-run comparable to the reference: evolution "
+                   "cutoff on, initial purity target, corr pinned to 1, "
+                   "constrained-ladder optimizer")
 
     s = sub.add_parser("se", help="exact DVR Schroedinger solver (reference dvr)")
     _common(s)
@@ -61,7 +68,12 @@ def main(argv=None):
 
     from gple_tpu.config import GPLEConfig
 
-    cfg = GPLEConfig.from_input_file(opts.input, model=opts.model)
+    extra = {}
+    if getattr(opts, "opt_mode", None):
+        extra["opt_mode"] = opts.opt_mode
+    if getattr(opts, "reference_parity", False):
+        extra["reference_parity"] = True
+    cfg = GPLEConfig.from_input_file(opts.input, model=opts.model, **extra)
 
     if opts.cmd == "gple":
         from gple_tpu.driver import GPLEDriver
