@@ -51,10 +51,15 @@ def _setup_jax(force_cpu: bool = False):
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: axon AOT compiles are minutes-long for the
-    # big fit+evolve graphs; cache them across processes
-    from gple_tpu.utils.cache import enable_persistent_cache
+    # big fit+evolve graphs; cache them across processes.  NOT on the CPU
+    # fallback path: XLA:CPU AOT cache entries bake in the compile host's CPU
+    # features, and loading them on a different host warns of possible SIGILL
+    # (observed 2026-08-17, cpu_aot_loader.cc) -- a fresh CPU compile is cheap
+    # insurance against crashing the one driver-captured benchmark run.
+    if not force_cpu:
+        from gple_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache()
+        enable_persistent_cache()
 
 
 def measure(step_fn, args, n_warmup, n_steps):
@@ -85,7 +90,8 @@ def measure(step_fn, args, n_warmup, n_steps):
     return (time.perf_counter() - t0) / n_steps, out
 
 
-def bench(n_points: int, n_steps: int, quick: bool, force_cpu: bool = False):
+def bench(n_points: int, n_steps: int, force_cpu: bool = False):
+    """Measure the accelerator (or, with ``force_cpu``, the host) step time."""
     _setup_jax(force_cpu)
     import jax
 
@@ -94,25 +100,31 @@ def bench(n_points: int, n_steps: int, quick: bool, force_cpu: bool = False):
 
     step = make_step_fn("SAC", 2000.0, 1.0)
 
-    # accelerator (default backend) timing
     density, gps = g._example_state(n_points)
     fn = jax.jit(step)
-    sec_acc, out = measure(fn, (density, gps), 2, n_steps)
+    sec, out = measure(fn, (density, gps), 2, n_steps)
     assert bool(jax.numpy.isfinite(out[0].rho).all())
+    return sec
 
-    # host-CPU baseline timing (same algorithm, same compiler, host hardware)
-    if force_cpu:
-        return sec_acc, float("nan")
+
+def _cpu_baseline(n_points: int, n_steps: int, timeout_s: float = 2400.0) -> float:
+    """Host-CPU step time for ``vs_baseline``, measured in a SUBPROCESS.
+
+    Isolation matters twice over: the CPU leg must not inherit the axon
+    process state, and XLA:CPU AOT cache entries compiled on another host can
+    SIGILL on load (cpu_aot_loader.cc warning, observed 2026-08-17) -- in a
+    subprocess that costs the baseline, not the headline measurement."""
     try:
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            density_c, gps_c = g._example_state(n_points)
-            fn_cpu = jax.jit(step)
-            sec_cpu, _ = measure(fn_cpu, (density_c, gps_c), 1, max(1, n_steps // 4))
-    except Exception:
-        sec_cpu = float("nan")
-
-    return sec_acc, sec_cpu
+        r = subprocess.run(
+            [sys.executable, __file__, "--cpu-probe", "-n", str(n_points),
+             "--steps", str(n_steps)],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        if r.returncode == 0:
+            return float(r.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, OSError, ValueError, IndexError):
+        pass
+    return float("nan")
 
 
 def main():
@@ -120,16 +132,26 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small N for smoke runs")
     ap.add_argument("-n", type=int, default=None, help="points per element")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--cpu-probe", action="store_true",
+                    help="internal: print the host-CPU step time and exit")
     opts = ap.parse_args()
     n = opts.n or (256 if opts.quick else 1024)
     steps = opts.steps or (3 if opts.quick else 10)
+
+    if opts.cpu_probe:
+        print(bench(n, steps, force_cpu=True))
+        return
 
     force_cpu = not _tunnel_alive()
     if force_cpu:
         print("bench: accelerator tunnel unreachable, measuring on host CPU",
               file=sys.stderr)
         steps = max(1, steps // 4)
-    sec_acc, sec_cpu = bench(n, steps, opts.quick, force_cpu)
+        sec_acc = bench(n, steps, force_cpu=True)
+        sec_cpu = float("nan")
+    else:
+        sec_acc = bench(n, steps)
+        sec_cpu = _cpu_baseline(n, max(1, steps // 4))
     vs = (sec_cpu / sec_acc) if sec_cpu == sec_cpu else 1.0
     result = {
         "metric": f"GPR fit+evolve sec/step @ N={n}",
