@@ -144,6 +144,56 @@ def adiabatic_force(model: str, x):
     return jnp.swapaxes(c, -1, -2) @ f @ c
 
 
+#: representation bases of the reference's 3x3 transform table
+#: (``liouville_equation/pes.cpp:360-703``)
+BASES = ("diabatic", "adiabatic", "force")
+
+
+def basis_matrix(model: str, x, basis: str):
+    """Orthogonal ``C(x)`` whose columns express the ``basis`` states in the
+    diabatic frame, shape ``(..., 2, 2)``.
+
+    ``"diabatic"`` is the identity; ``"adiabatic"`` diagonalizes the diabatic
+    potential (ascending energies); ``"force"`` diagonalizes the diabatic
+    force matrix (ascending eigen-forces).  Counterpart of the basis pieces of
+    the reference table ``liouville_equation/pes.cpp:238-347``.
+    """
+    if basis == "diabatic":
+        eye = jnp.eye(2)
+        return jnp.broadcast_to(eye, jnp.shape(jnp.asarray(x)) + (2, 2))
+    if basis == "adiabatic":
+        return adiabatic_transform(model, x)
+    if basis == "force":
+        _, c = sym2x2_eigh(diabatic_force(model, x))
+        return c
+    raise ValueError(f"unknown basis {basis!r}; expected one of {BASES}")
+
+
+def basis_transform(model: str, x, rho, frm: str, to: str):
+    """Transform a 2x2 density/operator matrix field between any two of the
+    three representation bases at position ``x``.
+
+    The full 3x3 transform table of the reference
+    (``liouville_equation/pes.cpp:360-703``, one hand-derived closed form per
+    (from, to) pair) collapses to one composition: with ``C_b(x)`` the basis
+    matrix of ``b`` (columns = basis states in the diabatic frame) and the
+    convention ``rho_b = C_b^T rho_dia C_b``,
+
+        ``rho_to = M rho_frm M^T,   M = C_to^T C_frm``.
+
+    ``x`` must broadcast against ``rho[..., 0, 0]`` (e.g. pass ``x[:, None]``
+    for an ``(Nx, Np, 2, 2)`` phase-space field).  Works for real or complex
+    ``rho``; orthogonality of ``M`` preserves trace and Hermiticity exactly.
+    """
+    rho = jnp.asarray(rho)
+    if frm == to:
+        return rho
+    c_frm = basis_matrix(model, x, frm)
+    c_to = basis_matrix(model, x, to)
+    m = (jnp.swapaxes(c_to, -1, -2) @ c_frm).astype(rho.dtype)
+    return jnp.einsum("...ab,...bc,...dc->...ad", m, rho, m)
+
+
 def adiabatic_coupling(model: str, x):
     """First-order non-adiabatic coupling d_jk = F_adia[j,k] / (E_j - E_k).
 

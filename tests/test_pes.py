@@ -133,3 +133,44 @@ def test_config_derivations():
     grids = cfg.phase_grids()
     assert grids.shape == (cfg.num_grids_per_dim ** 2, 2)
     assert grids[:, 0].min() == pytest.approx(cfg.xmin)
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_basis_transform_table(model):
+    """Full 3x3 basis table (reference liouville_equation/pes.cpp:360-703):
+    round trips are exact, diabatic->adiabatic diagonalizes V, trace and
+    Hermiticity survive every hop, and complex broadcast fields work."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(XS)
+    h = rng.normal(size=(len(XS), 2, 2)) + 1j * rng.normal(size=(len(XS), 2, 2))
+    rho = jnp.asarray(h + np.conj(np.swapaxes(h, -1, -2)))  # Hermitian field
+    for frm in tully.BASES:
+        for to in tully.BASES:
+            out = tully.basis_transform(model, x, rho, frm, to)
+            back = tully.basis_transform(model, x, out, to, frm)
+            np.testing.assert_allclose(np.asarray(back), np.asarray(rho),
+                                       atol=1e-12)
+            np.testing.assert_allclose(np.trace(np.asarray(out), axis1=-2, axis2=-1),
+                                       np.trace(np.asarray(rho), axis1=-2, axis2=-1),
+                                       atol=1e-12)
+            np.testing.assert_allclose(np.asarray(out),
+                                       np.conj(np.swapaxes(np.asarray(out), -1, -2)),
+                                       atol=1e-12)
+    # diabatic -> adiabatic diagonalizes the potential
+    v_ad = tully.basis_transform(model, x, tully.diabatic_potential(model, x),
+                                 "diabatic", "adiabatic")
+    np.testing.assert_allclose(np.asarray(v_ad[..., 0, 1]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_ad[..., 0, 0]),
+                               np.asarray(tully.adiabatic_potential(model, x)[..., 0]),
+                               atol=1e-12)
+    # force basis diagonalizes the diabatic force
+    f_fb = tully.basis_transform(model, x, tully.diabatic_force(model, x),
+                                 "diabatic", "force")
+    np.testing.assert_allclose(np.asarray(f_fb[..., 0, 1]), 0.0, atol=1e-12)
+    # broadcast: an (Nx, Np, 2, 2) phase-space field with x[:, None]
+    field = jnp.broadcast_to(rho[:, None], (len(XS), 3, 2, 2))
+    out2 = tully.basis_transform(model, x[:, None], field, "diabatic", "force")
+    np.testing.assert_allclose(
+        np.asarray(out2[:, 1]),
+        np.asarray(tully.basis_transform(model, x, rho, "diabatic", "force")),
+        atol=1e-12)
