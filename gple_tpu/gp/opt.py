@@ -143,12 +143,15 @@ def _diag_states(diag_lengths, data):
     return jax.vmap(RK.fit_real)(params, data["dpts"], data["drho"])
 
 
-def _diag_loss(diag_lengths, data):
-    states = _diag_states(diag_lengths, data)
+def _diag_loss_from_states(states, data):
     loo = jax.vmap(RK.loocv_error)(states)
     extra = jax.vmap(RK.extra_set_error)(states, data["depts"], data["derho"])
     per_elem = jnp.nan_to_num(loo + extra, nan=1e30, posinf=1e30)
     return jnp.sum(per_elem * data["dmask"])
+
+
+def _diag_loss(diag_lengths, data):
+    return _diag_loss_from_states(_diag_states(diag_lengths, data), data)
 
 
 def _off_state(off_flat, data):
@@ -166,12 +169,15 @@ def _off_state(off_flat, data):
     return CK.fit_complex(params, data["opts"], data["orho"])
 
 
-def _off_loss(off_flat, data):
-    state = _off_state(off_flat, data)
+def _off_loss_from_state(state, data):
     loss = CK.loocv_error_complex(state) + CK.extra_set_error_complex(
         state, data["oepts"], data["oerho"]
     )
     return jnp.nan_to_num(loss, nan=1e30, posinf=1e30) * data["omask"]
+
+
+def _off_loss(off_flat, data):
+    return _off_loss_from_state(_off_state(off_flat, data), data)
 
 
 def _raw_averages(diag_lengths, off_flat, data, with_off: bool):
@@ -452,6 +458,22 @@ def _analytic_magnitudes(diag_lengths, off_flat, data):
     return mags, off_mag
 
 
+@jax.jit
+def _fit_once_diagnostics(diag_lengths, off_flat, data):
+    """ONE fit of every element -> (log error, analytic magnitudes).
+
+    The moment optimizer needs both the run.log error diagnostic and the
+    analytic magnitudes; deriving them from the same fitted states halves
+    the closed-form reoptimization's O(N^3) cost (the fits are the whole
+    cost -- there is no search)."""
+    dstates = _diag_states(diag_lengths, data)
+    ostate = _off_state(off_flat, data)
+    err = _diag_loss_from_states(dstates, data) + _off_loss_from_state(ostate, data)
+    mags = jax.vmap(RK.optimal_magnitude)(dstates)
+    off_mag = CK.optimal_magnitude_complex(ostate)
+    return err, mags, off_mag
+
+
 class OptResult(NamedTuple):
     error: float
     steps: list
@@ -660,11 +682,12 @@ class Optimizer:
             off = np.concatenate([[mr], lr, [mi], li, [0.0]])
         else:
             off = np.asarray(self.off_params)
-        err = float(_diag_loss(jnp.asarray(diag), data)) + float(
-            _off_loss(jnp.asarray(off), data)
+        err, mags, off_mag = _fit_once_diagnostics(
+            jnp.asarray(diag), jnp.asarray(off), data
         )
         res = dict(
-            diag_lengths=diag, off_params=off, error=err, tag="moment",
+            diag_lengths=diag, off_params=off, error=float(err), tag="moment",
+            mags=mags, off_mag=off_mag,
             lam=self._al_lam if self._al_lam is not None else np.zeros((2, 3)),
         )
         return self._finish(res, data)
@@ -694,9 +717,12 @@ class Optimizer:
         self.diag_lengths = res["diag_lengths"]
         self.off_params = res["off_params"]
         self._al_lam = res["lam"]
-        mags, off_mag = _analytic_magnitudes(
-            jnp.asarray(self.diag_lengths), jnp.asarray(self.off_params), data
-        )
+        if "mags" in res:  # already fitted once (moment path) -- don't refit
+            mags, off_mag = res["mags"], res["off_mag"]
+        else:
+            mags, off_mag = _analytic_magnitudes(
+                jnp.asarray(self.diag_lengths), jnp.asarray(self.off_params), data
+            )
         dmask = np.asarray(data["dmask"]) > 0
         self.diag_magnitudes = np.where(dmask, np.asarray(mags), 1.0)
         self.off_magnitude = float(off_mag) if float(data["omask"]) > 0 else 1.0
