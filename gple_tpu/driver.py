@@ -278,7 +278,7 @@ class GPLEDriver:
         # optimizer + first fit (main.cpp:71-74)
         self.optimizer = Optimizer(
             model=cfg.model, mass=cfg.mass, total_energy=self.total_energy,
-            purity=self.purity, sigma_r0=np.asarray(cfg.sigma_r0), seed=cfg.seed,
+            purity=self.purity, sigma_r0=np.asarray(cfg.sigma_r0),
             lbfgs_steps=cfg.opt_steps_initial,
             corr_bounds=(1.0, 1.0) if cfg.reference_parity else Optimizer.corr_bounds,
             opt_mode=cfg.opt_mode,

@@ -64,7 +64,7 @@ MIN_CHAR_LENGTH = 1.0 / 100.0
 
 LBFGS_STEPS = 60
 AL_OUTER = 4
-GLOBAL_STARTS = 8
+GLOBAL_STARTS = 16
 #: augmented-Lagrangian penalty schedule on the RELATIVE constraint
 #: violations.  The loss (LOOCV + extra-set error on labels rescaled to
 #: max 10) is O(10-100), so the penalty must reach ~1e6 for a 0.1% relative
@@ -434,18 +434,40 @@ def _run_stage(start_diag, start_off, lam0, data, off_active: bool,
     return diag_lengths, off_flat, error, avgs, lam_out
 
 
-@jax.jit
-def _global_candidates(key, data):
-    """Random log-space restarts for the global stage (replaces DIRECT_L,
-    opt.cpp:1349-1383): return the candidate diag lengths with smallest loss."""
-    keys = jax.random.split(key, GLOBAL_STARTS)
+def _halton(n: int, d: int) -> np.ndarray:
+    """First ``n`` points of the ``d``-dimensional Halton sequence in (0,1)."""
+    primes = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)[:d]
+    out = np.empty((n, d))
+    for j, b in enumerate(primes):
+        for i in range(1, n + 1):
+            f, x, k = 1.0, 0.0, i
+            while k > 0:
+                f /= b
+                x += f * (k % b)
+                k //= b
+            out[i - 1, j] = x
+    return out
 
-    def sample_loss(k):
-        u = jax.random.uniform(k, data["dlb"].shape)
-        lengths = data["dlb"] * (data["dub"] / data["dlb"]) ** u
+
+@jax.jit
+def _global_candidates(data):
+    """Deterministic low-discrepancy log-space sweep for the global stage.
+
+    Counterpart of the reference's systematic DIRECT_L global search
+    (opt.cpp:1349-1383): GLOBAL_STARTS Halton points stratify the log-bounds
+    box far more evenly than the independent uniform draws they replace, and
+    the sweep is reproducible run to run.  Returns the candidate diag lengths
+    with the smallest unconstrained loss; the constrained local stage then
+    polishes from there (like DIRECT_L -> MMA in the reference ladder)."""
+    shape = data["dlb"].shape
+    u = jnp.asarray(_halton(GLOBAL_STARTS, int(np.prod(shape))).reshape(
+        (GLOBAL_STARTS,) + tuple(shape)))
+
+    def sample_loss(ui):
+        lengths = data["dlb"] * (data["dub"] / data["dlb"]) ** ui
         return _diag_loss(lengths, data), lengths
 
-    losses, lengths = jax.lax.map(sample_loss, keys)
+    losses, lengths = jax.lax.map(sample_loss, u)
     best = jnp.argmin(losses)
     return lengths[best]
 
@@ -495,7 +517,6 @@ class Optimizer:
     diag_magnitudes: np.ndarray = None    # (2,) analytic magnitudes
     off_magnitude: float = 1.0
     lbfgs_steps: int = LBFGS_STEPS
-    seed: int = 0
     #: (lb, ub) of the learnable Re-Im correlation rho; pin lb = ub = 1.0 to
     #: hard-wire the reference kernel (complex_kernel.h:12-13) -- the
     #: sigmoid-bounds transform collapses a zero-width box to its value, the
@@ -639,8 +660,7 @@ class Optimizer:
         res = self._compare(res, res2)
         if self._accepts(res):
             return self._finish(res, data)
-        gkey = jax.random.PRNGKey(self.seed + self._tick)
-        gdiag = np.asarray(_global_candidates(gkey, data))
+        gdiag = np.asarray(_global_candidates(data))
         goff = np.concatenate([[1.0], gdiag[0], [1.0], gdiag[0], [0.0]])
         res3 = run(*clipped(gdiag, goff), "global")
         res = self._compare(res, res3)

@@ -178,3 +178,28 @@ def test_moment_kernel_params_jittable(moment_run):
     )
     np.testing.assert_allclose(np.asarray(diag.magnitude),
                                optimizer.diag_magnitudes)
+
+
+def test_halton_global_sweep():
+    """The global stage is a deterministic low-discrepancy sweep (reference
+    DIRECT_L role, opt.cpp:1349-1383): points stratify the box, the winner is
+    reproducible, and on a real fit problem it beats both bounds endpoints."""
+    from gple_tpu.gp.opt import _diag_loss, _global_candidates, _halton
+
+    h = _halton(64, 4)
+    assert h.shape == (64, 4)
+    assert (h > 0).all() and (h < 1).all()
+    for j in range(4):  # every axis hits both halves early
+        assert (h[:16, j] < 0.5).any() and (h[:16, j] >= 0.5).any()
+
+    density, extra = sampled_density()
+    energies = total_energy_each_surface(MODEL, density, MASS)
+    optimizer = Optimizer(model=MODEL, mass=MASS, total_energy=float(energies[0]),
+                          purity=1.0, sigma_r0=SIGMA)
+    data, _ = optimizer._pack_data(density, extra, energies)
+    best = _global_candidates(data)
+    l_best = float(_diag_loss(jnp.asarray(best), data))
+    assert l_best <= float(_diag_loss(data["dlb"], data))
+    assert l_best <= float(_diag_loss(data["dub"], data))
+    np.testing.assert_array_equal(np.asarray(best),
+                                  np.asarray(_global_candidates(data)))
