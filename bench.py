@@ -42,6 +42,40 @@ def _tunnel_alive(timeout_s: float = 90.0) -> bool:
         return False
 
 
+def _tunnel_alive_with_retry(max_wait_s: float = None,
+                             interval_s: float = 60.0) -> bool:
+    """Retry the tunnel probe for up to ``max_wait_s`` before giving up.
+
+    The tunnel has been observed to die and come back within minutes; a
+    single probe at the wrong instant demoted the round-2 headline bench to
+    a CPU number.  Every attempt is logged (stderr + benchmarks/
+    tunnel_attempts.log) so a CPU-fallback artifact carries the evidence
+    that the accelerator was genuinely unreachable, not just unprobed."""
+    import os
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "600"))
+    log_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "tunnel_attempts.log")
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        alive = _tunnel_alive()
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        line = f"{stamp} attempt={attempt} alive={alive}"
+        print(f"bench: tunnel probe {line}", file=sys.stderr)
+        try:
+            with open(log_path, "a") as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass
+        if alive:
+            return True
+        if time.monotonic() + interval_s >= deadline:
+            return False
+        time.sleep(interval_s)
+
+
 def _setup_jax(force_cpu: bool = False):
     import jax
 
@@ -102,9 +136,42 @@ def bench(n_points: int, n_steps: int, force_cpu: bool = False):
 
     density, gps = g._example_state(n_points)
     fn = jax.jit(step)
+    # per-step FLOP count from the XLA cost model of the compiled step --
+    # a compiler-derived number, not a hand estimate
+    flops = None
+    try:
+        ca = fn.lower(density, gps).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+        if not (flops == flops and flops > 0):
+            flops = None
+    except Exception:
+        pass
     sec, out = measure(fn, (density, gps), 2, n_steps)
     assert bool(jax.numpy.isfinite(out[0].rho).all())
-    return sec
+    return sec, flops
+
+
+def _matmul_peak_tflops(size: int = 4096, iters: int = 16) -> float:
+    """Measured f32 matmul throughput of the current backend (TF/s): the
+    denominator for the MFU line.  Feeds outputs forward so the axon
+    device-side result cache cannot serve repeats."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((size, size), jnp.float32)
+    b = jnp.ones((size, size), jnp.float32) * (1.0 / size)
+
+    def body(carry, _):
+        return carry @ b, None
+
+    run = jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
+    jax.block_until_ready(run(a))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(a))
+    dt = time.perf_counter() - t0
+    return (2.0 * size ** 3 * iters) / dt / 1e12
 
 
 def _cpu_baseline(n_points: int, n_steps: int, timeout_s: float = 2400.0) -> float:
@@ -139,28 +206,44 @@ def main():
     steps = opts.steps or (3 if opts.quick else 10)
 
     if opts.cpu_probe:
-        print(bench(n, steps, force_cpu=True))
+        print(bench(n, steps, force_cpu=True)[0])
         return
 
-    force_cpu = not _tunnel_alive()
+    force_cpu = not _tunnel_alive_with_retry()
     if force_cpu:
-        print("bench: accelerator tunnel unreachable, measuring on host CPU",
-              file=sys.stderr)
+        print("bench: accelerator tunnel unreachable after retries, "
+              "measuring on host CPU", file=sys.stderr)
         steps = max(1, steps // 4)
-        sec_acc = bench(n, steps, force_cpu=True)
+        sec_acc, flops = bench(n, steps, force_cpu=True)
         sec_cpu = float("nan")
     else:
-        sec_acc = bench(n, steps)
+        sec_acc, flops = bench(n, steps)
         sec_cpu = _cpu_baseline(n, max(1, steps // 4))
-    vs = (sec_cpu / sec_acc) if sec_cpu == sec_cpu else 1.0
     result = {
         "metric": f"GPR fit+evolve sec/step @ N={n}",
         "value": round(sec_acc, 6),
         "unit": "s/step",
-        "vs_baseline": round(vs, 3),
+        # null (not 1.0) when the CPU baseline was not measured: "1x vs
+        # baseline" would misread as parity (VERDICT r2 weak #2)
+        "vs_baseline": (round(sec_cpu / sec_acc, 3)
+                        if sec_cpu == sec_cpu else None),
     }
+    if flops is not None:
+        achieved = flops / sec_acc / 1e12
+        result["flops_per_step"] = flops
+        result["achieved_tflops"] = round(achieved, 3)
+        if not force_cpu:
+            try:
+                peak = _matmul_peak_tflops()
+                result["matmul_peak_tflops"] = round(peak, 2)
+                result["mfu_vs_matmul_peak"] = round(achieved / peak, 4)
+            except Exception:
+                pass
     if force_cpu:
         result["platform"] = "cpu-fallback (accelerator tunnel down at run time)"
+    else:
+        import jax
+        result["platform"] = jax.devices()[0].platform
     print(json.dumps(result))
 
 

@@ -37,7 +37,8 @@ import __graft_entry__ as g  # noqa: E402
 from gple_tpu.dynamics.evolve import evolve_step  # noqa: E402
 from gple_tpu.driver import gp_dist_all  # noqa: E402
 from gple_tpu.parallel.sharding import (  # noqa: E402
-    density_sharding, make_mesh, make_step_fn, shard_density, sharded_step_fn,
+    density_sharding, gps_sharding, make_mesh, make_step_fn, shard_density,
+    sharded_step_fn,
 )
 from gple_tpu.storage import fit_gp_states  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
@@ -57,6 +58,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="2048,4096,8192")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="also append JSONL rows to this file (keep results "
+                    "under benchmarks/ -- the round driver owns MULTICHIP_r*)")
     opts = ap.parse_args()
     sizes = [int(s) for s in opts.sizes.split(",")]
 
@@ -67,8 +71,6 @@ def main():
         for ndev in (1, 8):
             mesh = make_mesh(ndev)
             dsh = shard_density(density, mesh)
-            step = sharded_step_fn("SAC", 2000.0, 1.0, mesh)
-            t_step = timed(step, (dsh, gps), opts.reps)
             # evolve-only: the shard-local part
             rep = NamedSharding(mesh, P())
             ev = jax.jit(
@@ -76,12 +78,25 @@ def main():
                 in_shardings=(density_sharding(mesh), rep), out_shardings=density_sharding(mesh),
             )
             t_ev = timed(ev, (dsh, gps), opts.reps)
-            row[f"step_s_{ndev}dev"] = round(t_step, 4)
             row[f"evolve_s_{ndev}dev"] = round(t_ev, 4)
-            row[f"refit_s_{ndev}dev"] = round(t_step - t_ev, 4)
+            for mode, shard_refit in (("rep", False), ("shard", True)):
+                if ndev == 1 and mode == "shard":
+                    continue  # identical program on one device
+                step = sharded_step_fn("SAC", 2000.0, 1.0, mesh,
+                                       shard_refit=shard_refit)
+                gin = (gps if ndev == 1 or not shard_refit
+                       else jax.device_put(gps, gps_sharding(mesh)))
+                t_step = timed(step, (dsh, gin), opts.reps)
+                suffix = f"{ndev}dev" if ndev == 1 else f"{ndev}dev_{mode}"
+                row[f"step_s_{suffix}"] = round(t_step, 4)
+                row[f"refit_s_{suffix}"] = round(t_step - t_ev, 4)
         row["evolve_speedup_8dev"] = round(row["evolve_s_1dev"] / row["evolve_s_8dev"], 2)
-        row["step_speedup_8dev"] = round(row["step_s_1dev"] / row["step_s_8dev"], 2)
+        row["step_speedup_8dev_rep"] = round(row["step_s_1dev"] / row["step_s_8dev_rep"], 2)
+        row["step_speedup_8dev_shard"] = round(row["step_s_1dev"] / row["step_s_8dev_shard"], 2)
         print(json.dumps(row), flush=True)
+        if opts.out:
+            with open(opts.out, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
         results.append(row)
     return results
 

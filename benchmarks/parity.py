@@ -89,8 +89,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"Tully-{opts.model} population RMSE vs DVR",
-                "value": round(min(rmse, rmse_prm), 6),
+                # headline policy (fixed ex ante, VERDICT r2 weak #6): the MC
+                # estimator is always "value"; prm stays a secondary field
+                "metric": f"Tully-{opts.model} population RMSE vs DVR (mci)",
+                "value": round(rmse, 6),
                 "unit": "population",
                 "rmse_mci": round(rmse, 6),
                 "rmse_prm": round(rmse_prm, 6),

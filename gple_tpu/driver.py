@@ -202,8 +202,15 @@ class GPLEDriver:
         #: jax.profiler trace directory (the reference only has wall-clock
         #: deltas in run.log, SURVEY.md section 5; this is the real profiler)
         self.profile_dir = profile_dir
-        #: cumulative per-phase wall times (evolve / refit / optimize / output)
-        self.phase_times = {"evolve": 0.0, "refit": 0.0, "optimize": 0.0, "output": 0.0}
+        #: cumulative per-phase wall times (evolve / refit / optimize / output).
+        #: "optimize" is further attributed to its three sub-phases --
+        #: opt_reselect (cloud re-selection + MC re-tuning), opt_tune
+        #: (hyperparameter search / moment fit), opt_fit (refit + extra-point
+        #: regeneration) -- so a slow reopt names its dominant term
+        self.phase_times = {
+            "evolve": 0.0, "refit": 0.0, "optimize": 0.0, "output": 0.0,
+            "opt_reselect": 0.0, "opt_tune": 0.0, "opt_fit": 0.0,
+        }
         #: event counters for the non-adiabatic machinery (activation of new
         #: density-matrix elements, drift-triggered cloud re-selections) --
         #: lets tests assert the crossing physics actually fired
@@ -373,14 +380,20 @@ class GPLEDriver:
         t0 = _time.perf_counter()
         density = self._track_clouds(self.density)
         self.density = density
+        t1 = _time.perf_counter()
         energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
         self.optimizer.purity = target_purity
         self.opt_result = self.optimizer.optimize(density, self.extra, energies)
+        t2 = _time.perf_counter()
         self.gps = self._refit(density)
         self._record_fit_ref(target_purity)
         dist_elems = GP_DIST_ELEMS if cfg.evolve_cutoff else GP_DIST_ELEMS_NOCUT
         self.extra = self._make_extra(density, dist_elems, self.gps)
-        self.phase_times["optimize"] += _time.perf_counter() - t0
+        t3 = _time.perf_counter()
+        self.phase_times["opt_reselect"] += t1 - t0
+        self.phase_times["opt_tune"] += t2 - t1
+        self.phase_times["opt_fit"] += t3 - t2
+        self.phase_times["optimize"] += t3 - t0
         return self.opt_result.opt_type
 
     # -- one tick (main.cpp:135-202) ------------------------------------------------

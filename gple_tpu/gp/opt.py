@@ -436,7 +436,10 @@ def _run_stage(start_diag, start_off, lam0, data, off_active: bool,
 
 def _halton(n: int, d: int) -> np.ndarray:
     """First ``n`` points of the ``d``-dimensional Halton sequence in (0,1)."""
-    primes = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)[:d]
+    all_primes = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+    if d > len(all_primes):
+        raise ValueError(f"_halton supports d <= {len(all_primes)}, got {d}")
+    primes = all_primes[:d]
     out = np.empty((n, d))
     for j, b in enumerate(primes):
         for i in range(1, n + 1):
@@ -470,6 +473,37 @@ def _global_candidates(data):
     losses, lengths = jax.lax.map(sample_loss, u)
     best = jnp.argmin(losses)
     return lengths[best]
+
+
+@jax.jit
+def _global_candidates_off(data):
+    """Halton sweep of the OFF-DIAGONAL element's full parameter box.
+
+    The reference's global stage searches every element's own bounds
+    (opt.cpp:372-384), not just the diagonal lengths; this is its complex-
+    kernel counterpart.  Magnitudes and lengths stratify in log space, the
+    Re-Im correlation linearly (its box may be zero-width under
+    reference_parity, where lb = ub = 1 collapses the axis).  Returns the
+    candidate off-parameter vector with the smallest unconstrained loss."""
+    olb, oub = data["olb"], data["oub"]
+    d = olb.shape[0]
+    u = jnp.asarray(_halton(GLOBAL_STARTS, int(d)))
+    # log-stratify all strictly-positive axes; the final axis (corr) is linear
+    log_axes = jnp.arange(d) < d - 1
+    safe_lb = jnp.where(log_axes, jnp.maximum(olb, 1e-30), olb)
+
+    def decode(ui):
+        logv = safe_lb * (oub / safe_lb) ** ui
+        linv = olb + (oub - olb) * ui
+        return jnp.where(log_axes, logv, linv)
+
+    def sample_loss(ui):
+        off = decode(ui)
+        return _off_loss(off, data), off
+
+    losses, offs = jax.lax.map(sample_loss, u)
+    best = jnp.argmin(losses)
+    return offs[best]
 
 
 @jax.jit
@@ -661,7 +695,10 @@ class Optimizer:
         if self._accepts(res):
             return self._finish(res, data)
         gdiag = np.asarray(_global_candidates(data))
-        goff = np.concatenate([[1.0], gdiag[0], [1.0], gdiag[0], [0.0]])
+        if off_active:
+            goff = np.asarray(_global_candidates_off(data))
+        else:
+            goff = np.concatenate([[1.0], gdiag[0], [1.0], gdiag[0], [0.0]])
         res3 = run(*clipped(gdiag, goff), "global")
         res = self._compare(res, res3)
         return self._finish(res, data)

@@ -42,6 +42,12 @@ def save_checkpoint(path: str, driver, tick: int) -> None:
         purity_ratio=driver.purity_ratio,
         mc_steps=np.asarray([p.num_steps for p in driver.mc_params]),
         mc_displacements=np.asarray([p.displacement for p in driver.mc_params]),
+        # warm-start AL multipliers from the last accepted ladder stage; a
+        # (0,) sentinel means "none yet" (moment mode, or pre-first-reopt)
+        al_lam=(np.asarray(opt._al_lam) if getattr(opt, "_al_lam", None)
+                is not None else np.zeros((0,))),
+        opt_error=float(getattr(driver.opt_result, "error", 0.0)),
+        opt_type=str(getattr(driver.opt_result, "opt_type", "resumed")),
     )
 
 
@@ -75,7 +81,6 @@ def load_checkpoint(path: str, driver) -> int:
             off_params=np.asarray(z["off_params"]),
             diag_magnitudes=np.asarray(z["diag_magnitudes"]),
             off_magnitude=float(z["off_magnitude"]),
-            seed=driver.cfg.seed,
             lbfgs_steps=driver.cfg.opt_steps_reopt,
             corr_bounds=(1.0, 1.0) if driver.cfg.reference_parity
             else Optimizer.corr_bounds,
@@ -85,7 +90,11 @@ def load_checkpoint(path: str, driver) -> int:
             MCParameters(num_steps=int(s), displacement=float(d))
             for s, d in zip(z["mc_steps"], z["mc_displacements"])
         ]
+        if "al_lam" in z and z["al_lam"].size:
+            driver.optimizer._al_lam = np.asarray(z["al_lam"])
         tick = int(z["tick"])
+        opt_error = float(z["opt_error"]) if "opt_error" in z else 0.0
+        opt_type = str(z["opt_type"]) if "opt_type" in z else "resumed"
     driver.gps = driver._refit(driver.density)
     if driver.cfg.purity_target == "measured":
         from gple_tpu import observables as OBS
@@ -98,5 +107,5 @@ def load_checkpoint(path: str, driver) -> int:
     else:
         target = driver.purity
     driver._record_fit_ref(target)
-    driver.opt_result = type("R", (), {"error": 0.0, "opt_type": "resumed"})()
+    driver.opt_result = type("R", (), {"error": opt_error, "opt_type": opt_type})()
     return tick

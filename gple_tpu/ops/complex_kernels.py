@@ -142,8 +142,10 @@ class ComplexTrainState(NamedTuple):
     v: jnp.ndarray              # (N, 2) RI upper augmented solve
     #: fringe wavevector of the demodulation frame (PhaseDim,); the GP models
     #: the envelope rho e^{-i k.r} and predictions re-modulate by e^{+i k.r}.
-    #: zeros = reference behavior
-    chirp_k: jnp.ndarray = jnp.zeros(2)
+    #: zeros = reference behavior.  Required (no array default: a module-level
+    #: jnp default would initialize the JAX backend at import time and pin the
+    #: import-time dtype); fit_complex always supplies it.
+    chirp_k: jnp.ndarray
 
     def augmented_inverse(self) -> jnp.ndarray:
         """Reconstruct W = M^-1 of the real SPD embedding from the stored

@@ -28,6 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gple_tpu.dynamics.evolve import evolve_step
 from gple_tpu.driver import gp_dist_all
+from gple_tpu.ops import complex_kernels as CK
+from gple_tpu.ops import kernels as RK
 from gple_tpu.storage import Density, GPStates, fit_gp_states
 
 POINTS_AXIS = "points"
@@ -59,6 +61,45 @@ def shard_density(density: Density, mesh: Mesh) -> Density:
     )
 
 
+def gps_sharding(mesh: Mesh):
+    """Row-shard every O(N^2)/O(N) leaf of the fitted GP states.
+
+    Round-2 scaling measurement: with the refit REPLICATED, every device
+    factorizes the full (N, N) gram, and the refit/evolve work ratio grows
+    to 8.4 at N = 512 -- the replicated refit bounds scaling beyond N ~ 4k.
+    Sharding the training-state rows makes the Newton-Schulz matmul chain a
+    distributed matmul (GSPMD turns K @ X with X row-sharded into
+    shard-local blocks plus one reduce over ICI per iteration), and the
+    predict-time cross-gram contractions become sharded reductions."""
+    def sh(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    diag = RK.RealTrainState(
+        params=RK.KernelParams(magnitude=sh(), lengths=sh(), noise=sh()),
+        features=sh(None, POINTS_AXIS, None),
+        labels=sh(None, POINTS_AXIS),
+        rescale=sh(),
+        kinv=sh(None, POINTS_AXIS, None),
+        alpha=sh(None, POINTS_AXIS),
+    )
+    off = CK.ComplexTrainState(
+        params=CK.ComplexKernelParams(
+            magnitude=sh(), real_magnitude=sh(), real_lengths=sh(),
+            imag_magnitude=sh(), imag_lengths=sh(), noise=sh(), corr=sh(),
+        ),
+        features=sh(POINTS_AXIS, None),
+        labels=sh(POINTS_AXIS, None),
+        rescale=sh(),
+        p_re=sh(POINTS_AXIS, None),
+        p_im=sh(POINTS_AXIS, None),
+        q_re=sh(POINTS_AXIS, None),
+        q_im=sh(POINTS_AXIS, None),
+        v=sh(POINTS_AXIS, None),
+        chirp_k=sh(),
+    )
+    return GPStates(diag=diag, offdiag=off, active=sh())
+
+
 def make_step_fn(model: str, mass: float, dt: float):
     """The flagship fit+evolve step: evolve all points one tick with the
     current GP surrogate, then refactorize the GPs from the moved points
@@ -73,15 +114,19 @@ def make_step_fn(model: str, mass: float, dt: float):
     return step
 
 
-def sharded_step_fn(model: str, mass: float, dt: float, mesh: Mesh):
-    """jit the full step with points sharded over the mesh and the GP state
-    replicated; XLA/GSPMD inserts the all-gather for the refit and keeps the
-    evolution shard-local."""
+def sharded_step_fn(model: str, mass: float, dt: float, mesh: Mesh,
+                    shard_refit: bool = True):
+    """jit the full step with points sharded over the mesh.
+
+    ``shard_refit=True`` (default) also row-shards the refit OUTPUT (the
+    (N, N) inverses), distributing the Newton-Schulz factorization;
+    ``False`` keeps the GP state replicated (each device refits the full
+    gram -- the round-2 behavior, kept for A/B scaling measurements)."""
     step = make_step_fn(model, mass, dt)
     dsh = density_sharding(mesh)
-    rep = NamedSharding(mesh, P())
+    gsh = gps_sharding(mesh) if shard_refit else NamedSharding(mesh, P())
     return jax.jit(
         step,
-        in_shardings=(dsh, rep),
-        out_shardings=(dsh, rep),
+        in_shardings=(dsh, gsh),
+        out_shardings=(dsh, gsh),
     )

@@ -42,6 +42,42 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_resume_equivalence(tmp_path):
+    """2k ticks straight vs k + checkpoint/reload + k: populations must match.
+
+    Guards the full restored-state contract (density, GP hyperparameters,
+    AL multipliers, MC tuning, RNG key) -- a silently cold-started field
+    shows up as a population drift here."""
+    cfg = GPLEConfig(
+        model="DAC", mass=2000.0, x0=-10.0, p0=30.0, sigma_p0=1.5,
+        output_time=1.0, reopt_time=2.0, dt=0.5, num_points=24,
+    )
+    k = 2
+    straight = GPLEDriver(cfg)
+    straight.initialize()
+    for tick in range(1, 2 * k + 1):
+        straight.step(tick)
+
+    first = GPLEDriver(cfg)
+    first.initialize()
+    for tick in range(1, k + 1):
+        first.step(tick)
+    path = str(tmp_path / "mid.npz")
+    ckpt.save_checkpoint(path, first, k)
+    resumed = GPLEDriver(cfg)
+    tick = ckpt.load_checkpoint(path, resumed)
+    for t in range(tick + 1, 2 * k + 1):
+        resumed.step(t)
+
+    from gple_tpu import observables as OBS
+
+    pop_straight = np.asarray(OBS.population_each_surface(straight.density))
+    pop_resumed = np.asarray(OBS.population_each_surface(resumed.density))
+    np.testing.assert_allclose(pop_resumed, pop_straight, rtol=0, atol=5e-3)
+    # optimizer error/type survive the round trip rather than resetting to 0
+    assert resumed.opt_result.opt_type != ""
+
+
 def test_run_with_checkpointing(tmp_path):
     cfg = GPLEConfig(
         model="DAC", mass=2000.0, x0=-10.0, p0=30.0, sigma_p0=1.5,

@@ -54,9 +54,12 @@ def test_population_rmse_vs_dvr_pinned(crossing_run):
     gp0 = np.array([r.population_mci[0] for r in hist])
     sp0 = np.interp(gt, se.times, se.populations[:, 0])
     rmse = float(np.sqrt(np.mean((gp0 - sp0) ** 2)))
-    # measured 0.051 on this config; red if the crossing accuracy regresses
-    assert rmse < 0.12, f"population RMSE vs DVR regressed: {rmse:.4f}"
-    assert abs(gp0[-1] - sp0[-1]) < 0.18
+    # measured 0.0355 (ladder) / 0.0188 (moment default) on this config with
+    # deterministic seeding; the band is ~1.5x the ladder measurement so a
+    # regression to round-1 accuracy (0.051) turns red while run-to-run MC
+    # noise (~0.003) cannot
+    assert rmse < 0.055, f"population RMSE vs DVR regressed: {rmse:.4f}"
+    assert abs(gp0[-1] - sp0[-1]) < 0.09
 
 
 def test_nonadiabatic_machinery_fired(crossing_run):

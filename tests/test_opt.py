@@ -203,3 +203,34 @@ def test_halton_global_sweep():
     assert l_best <= float(_diag_loss(data["dub"], data))
     np.testing.assert_array_equal(np.asarray(best),
                                   np.asarray(_global_candidates(data)))
+
+
+def test_halton_global_sweep_off_diagonal():
+    """The global stage searches the complex kernel's OWN parameter box
+    (reference opt.cpp:372-384 searches every element's bounds), not a
+    heuristic seeded from the diagonal winner."""
+    from gple_tpu.gp.opt import _global_candidates_off, _off_loss
+
+    density, extra = sampled_density()
+    # activate the off-diagonal element with a quadrature coherence
+    rho = np.array(density.rho)
+    x = np.asarray(density.points[1])
+    g = np.exp(-np.sum((x - R0) ** 2 / (2 * SIGMA**2), axis=1))
+    rho[1] = 0.5 * np.stack([g * np.cos(x[:, 0]), g * np.sin(x[:, 0])], axis=-1)
+    density = Density(points=density.points, rho=jnp.asarray(rho),
+                      active=jnp.asarray([True, True, True]))
+    extra = Density(points=extra.points, rho=extra.rho, active=density.active)
+    energies = total_energy_each_surface(MODEL, density, MASS)
+    optimizer = Optimizer(model=MODEL, mass=MASS, total_energy=float(energies[0]),
+                          purity=1.0, sigma_r0=SIGMA)
+    data, off_active = optimizer._pack_data(density, extra, energies)
+    assert off_active
+    best = np.asarray(_global_candidates_off(data))
+    olb, oub = np.asarray(data["olb"]), np.asarray(data["oub"])
+    assert best.shape == olb.shape
+    assert (best >= olb - 1e-12).all() and (best <= oub + 1e-12).all()
+    l_best = float(_off_loss(jnp.asarray(best), data))
+    mid = np.sqrt(np.maximum(olb, 1e-30) * np.maximum(oub, 1e-30))
+    mid[-1] = 0.5 * (olb[-1] + oub[-1])
+    assert l_best <= float(_off_loss(jnp.asarray(mid), data))
+    np.testing.assert_array_equal(best, np.asarray(_global_candidates_off(data)))
