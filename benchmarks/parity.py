@@ -35,6 +35,10 @@ def main():
                     help="override GPLEConfig.opt_mode for A/B parity runs")
     ap.add_argument("--moment-per-tick", type=int, default=None, choices=[0, 1],
                     help="override GPLEConfig.moment_per_tick")
+    ap.add_argument("--coh-extra", type=int, default=None,
+                    help="GPLEConfig.coh_fit_extra (coherence fit boost)")
+    ap.add_argument("--coh-len-div", type=float, default=None,
+                    help="GPLEConfig.coh_len_div (coherence lengthscale divisor)")
     opts = ap.parse_args()
 
     import jax
@@ -55,6 +59,9 @@ def main():
         **({"opt_mode": opts.opt_mode} if opts.opt_mode else {}),
         **({"moment_per_tick": bool(opts.moment_per_tick)}
            if opts.moment_per_tick is not None else {}),
+        **({"coh_fit_extra": opts.coh_extra} if opts.coh_extra is not None else {}),
+        **({"coh_len_div": opts.coh_len_div}
+           if opts.coh_len_div is not None else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(

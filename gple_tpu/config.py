@@ -98,6 +98,23 @@ class GPLEConfig:
     #: last reoptimization act as a stabilizer.  Kept as an option; ignored
     #: under ``opt_mode="ladder"``.
     moment_per_tick: bool = False
+    #: Asymmetric coherence point budget: include this many of the
+    #: off-diagonal element's EXTRA points (which evolve every tick with
+    #: carried labels, exactly like the main cloud) in the coherence FIT.
+    #: The coherence fit is the measured accuracy bottleneck (carried-label
+    #: channel 0.0514 vs 0.0073 for diagonals at N = 64; scaling the
+    #: coherence cloud 64 -> 256 measured 0.0514 -> 0.0346,
+    #: docs/DESIGN.md round-3 decomposition) while the diagonal fits are
+    #: essentially exact at any N -- so the extra resolution goes where the
+    #: error lives.  0 disables; capped at ``num_extra_points``.
+    coh_fit_extra: int = 0
+    #: Moment-mode coherence lengthscale divisor (off lengths = weighted
+    #: cloud std / coh_len_div).  Raise together with ``coh_fit_extra``:
+    #: shorter lengths only pay off with the point support to back them
+    #: (measured: n=256/div 6 -> carried-label RMSE 0.0130, at the
+    #: ideal-label bound; div 6 at n=64 is a dead end -- gp/opt.py
+    #: Optimizer.off_len_div).
+    coh_len_div: float = 2.0
     #: Run-for-run comparable to the reference: forces ``evolve_cutoff=True``
     #: (main.cpp:75-101), ``purity_target="initial"`` (main.cpp:65), and pins
     #: the complex-kernel correlation at rho = 1 (complex_kernel.h:12-13)

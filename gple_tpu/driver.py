@@ -91,10 +91,19 @@ def init_dist_all(params, pts3):
     return jnp.stack([INIT_DIST_ELEMS[k](params, pts3[k]) for k in range(NUM_ELEMENTS)])
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9))
+def _off_extra_slice(extra: Density, k: int):
+    """First ``k`` off-diagonal extra points as (pts, rho) for the coherence
+    fit, or None when the boost is off.  ``k`` is static."""
+    if k <= 0:
+        return None
+    return (extra.points[OFFDIAG_INDEX, :k], extra.rho[OFFDIAG_INDEX, :k])
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10))
 def _tick_fused(model: str, mass: float, dt: float, density: Density,
                 extra: Density, gps: GPStates, diag_params, off_params,
-                evolve_dist=gp_dist_all_nocut, track_moments: bool = False):
+                evolve_dist=gp_dist_all_nocut, track_moments: bool = False,
+                coh_fit_extra: int = 0):
     """One tick's device work in ONE dispatch: evolve density + extra points,
     the is-very-small test, the GP refactorization from the moved points, and
     the drift-check scalars.  The per-tick host loop then costs a single
@@ -111,17 +120,18 @@ def _tick_fused(model: str, mass: float, dt: float, density: Density,
         diag_params, off_params = moment_kernel_params(
             new_density, diag_params, off_params
         )
-    new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps)
+    new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps,
+                            off_extra=_off_extra_slice(new_extra, coh_fit_extra))
     mc_purity = jnp.sum(OBS.purity_each_element(new_density))
     return (new_density, new_extra, small, new_gps, new_gps.population(),
             new_gps.purity(), mc_purity)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11))
 def _ticks_scan(model: str, mass: float, dt: float, density: Density,
                 extra: Density, gps: GPStates, diag_params, off_params,
                 n_ticks: int, evolve_dist=gp_dist_all_nocut,
-                track_moments: bool = False):
+                track_moments: bool = False, coh_fit_extra: int = 0):
     """A whole CHUNK of ticks in ONE dispatch: ``lax.scan`` over
     evolve+refit, carrying (density, extra, gps).  Per-tick activation flags
     are stacked out so the host can detect an element change mid-chunk and
@@ -139,7 +149,8 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
             moment_kernel_params(new_density, diag_params, off_params)
             if track_moments else (diag_params, off_params)
         )
-        new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps)
+        new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps,
+                                off_extra=_off_extra_slice(new_extra, coh_fit_extra))
         return (new_density, new_extra, new_gps), small
 
     (density, extra, gps), smalls = jax.lax.scan(
@@ -225,6 +236,8 @@ class GPLEDriver:
         self._new_pt_dists = tuple(
             partial(self._new_point_dist, elem=k) for k in range(NUM_ELEMENTS)
         )
+        #: static coherence-boost size (see GPLEConfig.coh_fit_extra)
+        self._coh_k = min(int(cfg.coh_fit_extra), cfg.num_extra_points)
 
     def _log(self, msg):
         if self.verbose:
@@ -280,15 +293,18 @@ class GPLEDriver:
             jnp.sum(OBS.purity_each_element(density)) * purity_factor(cfg.dim)
         )
         self.purity_ratio = self.purity / initial_mc_purity
-        # extra points (main.cpp:69)
+        # extra points (main.cpp:69); set before the first _refit, which
+        # reads self.extra when the coherence boost is on
         extra = self._make_extra(density, INIT_DIST_ELEMS, init_params)
+        self.extra = extra
         # optimizer + first fit (main.cpp:71-74)
         self.optimizer = Optimizer(
             model=cfg.model, mass=cfg.mass, total_energy=self.total_energy,
             purity=self.purity, sigma_r0=np.asarray(cfg.sigma_r0),
             lbfgs_steps=cfg.opt_steps_initial,
             corr_bounds=(1.0, 1.0) if cfg.reference_parity else Optimizer.corr_bounds,
-            opt_mode=cfg.opt_mode,
+            opt_mode=cfg.opt_mode, off_len_div=cfg.coh_len_div,
+            coh_fit_extra=self._coh_k,
         )
         self.opt_result = self.optimizer.optimize(density, extra, energies)
         # in-trajectory reopts warm-start near the optimum: fewer steps
@@ -316,7 +332,8 @@ class GPLEDriver:
 
     def _refit(self, density: Density) -> GPStates:
         diag_params, off_params = self.optimizer.fitted_params()
-        return fit_gp_states(diag_params, off_params, density)
+        return fit_gp_states(diag_params, off_params, density,
+                             off_extra=_off_extra_slice(self.extra, self._coh_k))
 
     def _record_fit_ref(self, target_purity: float) -> None:
         """Snapshot the freshly fitted GP's integral observables.
@@ -358,6 +375,7 @@ class GPLEDriver:
         density, extra, gps, smalls, pop, pur, mc_pur = _ticks_scan(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, self.gps,
             diag_params, off_params, n_ticks, evolve_dist, self._track_moments,
+            self._coh_k,
         )
         smalls = np.asarray(smalls)
         active = np.asarray(self.density.active)
@@ -408,6 +426,7 @@ class GPLEDriver:
         density, extra, small, new_gps, pop, pur, mc_pur = _tick_fused(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, gps,
             diag_params, off_params, evolve_dist, self._track_moments,
+            self._coh_k,
         )
         small = np.asarray(small)
         self.phase_times["evolve"] += _time.perf_counter() - t0

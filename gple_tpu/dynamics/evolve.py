@@ -394,8 +394,14 @@ def is_very_small(model, mass, dt, density: Density, dist_fn, dist_params,
                   criterion: float = 0.0):
     """Per-element smallness flags (evolve.cpp:445-478): an inactive element
     stays small only if every test-point prediction is below epsilon; active
-    elements are never small.  Returns (3,) bool 'small' flags."""
-    test_pts = density.points[0]  # element (0,0)'s coordinates as probes
+    elements are never small.  Returns (3,) bool 'small' flags.
+
+    Probes on the UNION of every element's cloud: the reference tests each
+    element on representative points of its own set (evolve.cpp:445-478),
+    and a single element's cloud can drift out of the region where another
+    element would reappear -- probing all clouds keeps reactivation
+    detectable wherever any sampled density currently lives."""
+    test_pts = density.points.reshape(-1, density.points.shape[-1])
     small = []
     for k in range(NUM_ELEMENTS):
         pred = predict_new_points(

@@ -571,6 +571,22 @@ class Optimizer:
     #: *totals* but distort the lengthscales that control the fit the
     #: evolution actually reads.
     opt_mode: str = "moment"
+    #: moment-mode COHERENCE lengthscale divisor: off lengths = |label|-
+    #: weighted cloud std / off_len_div.  The diagonal fields are smooth
+    #: (std/2 is essentially exact at any N) but the coherence develops
+    #: fringes; resolving them needs BOTH a denser cloud and proportionally
+    #: shorter lengths.  Measured on the carried-label decomposition channel
+    #: (SAC crossing, 240 ticks, benchmarks/decompose.py, 2026-08-18):
+    #: n=64/div 2: 0.0514; n=256/div 2: 0.0346; n=256/div 6: **0.0130** --
+    #: at the ideal-label bound (0.0122).  Neither lever works alone
+    #: (length scans at n=64 were a measured dead end).  Default 2 preserves
+    #: the round-2 behavior; raise together with the coherence point budget
+    #: (GPLEConfig.coh_fit_extra).
+    off_len_div: float = 2.0
+    #: moment-mode coherence boost: include the first ``coh_fit_extra``
+    #: off-diagonal EXTRA points in the moment statistics, matching the
+    #: boosted fit (GPLEConfig.coh_fit_extra / storage.fit_gp_states)
+    coh_fit_extra: int = 0
 
     def __post_init__(self):
         self.sigma_r0 = np.asarray(self.sigma_r0, dtype=np.float64)
@@ -662,7 +678,12 @@ class Optimizer:
         data, off_active = self._pack_data(density, extra, surface_energies)
         self._tick += 1
         if self.opt_mode == "moment":
-            return self._moment_impl(density, data)
+            k = min(int(self.coh_fit_extra), extra.points.shape[1])
+            off_extra = (
+                (extra.points[OFFDIAG_INDEX, :k], extra.rho[OFFDIAG_INDEX, :k])
+                if k > 0 else None
+            )
+            return self._moment_impl(density, data, off_extra)
 
         def run(start_diag, start_off, tag):
             # the warm stage reuses the previous reopt's converged Lagrange
@@ -713,7 +734,7 @@ class Optimizer:
         var = (((pts - mu) ** 2) * w[:, None]).sum(0) / w.sum()
         return np.sqrt(np.maximum(var, MIN_CHAR_LENGTH**2))
 
-    def _moment_impl(self, density: Density, data) -> OptResult:
+    def _moment_impl(self, density: Density, data, off_extra=None) -> OptResult:
         """Moment-based hyperparameters: no search, no constraints.
 
         Lengthscales are the |label|-weighted cloud std / 2 per axis (the
@@ -732,8 +753,11 @@ class Optimizer:
         off = np.asarray(self._initial_off())
         if active[OFFDIAG_INDEX]:
             o, orho = pts[OFFDIAG_INDEX], rho[OFFDIAG_INDEX]
-            lr = self._weighted_std(o, orho[:, 0]) / 2.0
-            li = self._weighted_std(o, orho[:, 1]) / 2.0
+            if off_extra is not None:
+                o = np.concatenate([o, np.asarray(off_extra[0])], axis=0)
+                orho = np.concatenate([orho, np.asarray(off_extra[1])], axis=0)
+            lr = self._weighted_std(o, orho[:, 0]) / self.off_len_div
+            li = self._weighted_std(o, orho[:, 1]) / self.off_len_div
             mr = float(np.sqrt(np.mean(orho[:, 0] ** 2)) + 1e-30)
             mi = float(np.sqrt(np.mean(orho[:, 1] ** 2)) + 1e-30)
             off = np.concatenate([[mr], lr, [mi], li, [0.0]])

@@ -82,6 +82,8 @@ def load_checkpoint(path: str, driver) -> int:
             diag_magnitudes=np.asarray(z["diag_magnitudes"]),
             off_magnitude=float(z["off_magnitude"]),
             lbfgs_steps=driver.cfg.opt_steps_reopt,
+            off_len_div=driver.cfg.coh_len_div,
+            coh_fit_extra=driver._coh_k,
             corr_bounds=(1.0, 1.0) if driver.cfg.reference_parity
             else Optimizer.corr_bounds,
             opt_mode=driver.cfg.opt_mode,

@@ -124,6 +124,7 @@ def fit_gp_states(
     offdiag_params: CK.ComplexKernelParams,
     density: Density,
     prev: "GPStates" = None,
+    off_extra=None,
 ) -> GPStates:
     """Refactorize all element GPs from the current points (the reference
     rebuilds TrainingKernels every tick, main.cpp:176).
@@ -132,15 +133,25 @@ def fit_gp_states(
     inverses -- per-tick point motion is small, so the stale inverse is ~3
     quadratic iterations from converged, skipping the 32-iteration cold
     stage.  The warm path guards itself (ops/linalg.py) and falls back to a
-    cold factorization whenever the cloud jumped."""
+    cold factorization whenever the cloud jumped.
+
+    ``off_extra`` = (points (K, PhaseDim), rho (K, 2)) joins the OFF-DIAGONAL
+    fit only: an asymmetric point budget for the coherence, whose fit is the
+    measured accuracy bottleneck (carried-label RMSE 0.0514 at N = 64 vs
+    0.0073 for the diagonals, docs/DESIGN.md decomposition) while the
+    diagonal fits are essentially exact at any N.  K is static, so the jitted
+    shapes stay fixed."""
     diag_idx = jnp.asarray(DIAG_INDICES)
+    off_pts = density.points[OFFDIAG_INDEX]
+    off_rho = density.rho[OFFDIAG_INDEX]
+    if off_extra is not None:
+        off_pts = jnp.concatenate([off_pts, off_extra[0]], axis=0)
+        off_rho = jnp.concatenate([off_rho, off_extra[1]], axis=0)
     if prev is None:
         diag = jax.vmap(RK.fit_real)(
             diag_params, density.points[diag_idx], density.rho[diag_idx, :, 0]
         )
-        off = CK.fit_complex(
-            offdiag_params, density.points[OFFDIAG_INDEX], density.rho[OFFDIAG_INDEX]
-        )
+        off = CK.fit_complex(offdiag_params, off_pts, off_rho)
     else:
         # UNROLLED over the two diagonal elements: under vmap the warm
         # path's lax.cond batches into a select that executes BOTH branches,
@@ -154,8 +165,8 @@ def fit_gp_states(
             ))
         diag = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         off = CK.fit_complex(
-            offdiag_params, density.points[OFFDIAG_INDEX],
-            density.rho[OFFDIAG_INDEX], w_warm=prev.offdiag.augmented_inverse(),
+            offdiag_params, off_pts, off_rho,
+            w_warm=prev.offdiag.augmented_inverse(),
         )
     return GPStates(diag=diag, offdiag=off, active=density.active)
 

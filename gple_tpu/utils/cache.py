@@ -15,13 +15,34 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".jax_cache")
 
 
+def _host_tag() -> str:
+    """A per-host fingerprint for CPU cache entries.
+
+    XLA:CPU AOT cache entries bake in the compile host's CPU features;
+    loading them on a different machine logs cpu_aot_loader SIGILL-hazard
+    errors (observed 2026-08-17/18).  Keying the CPU cache subdirectory by a
+    hash of the host's cpuinfo flags keeps cross-host entries out while still
+    amortizing compiles across processes on the SAME machine."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     """Point JAX's persistent compilation cache at ``cache_dir`` (default:
-    ``<repo>/.jax_cache``, overridable via ``JAX_COMPILATION_CACHE_DIR``).
+    ``<repo>/.jax_cache``, overridable via ``JAX_COMPILATION_CACHE_DIR``;
+    CPU-backend entries go to a per-host subdirectory, see :func:`_host_tag`).
     Safe to call multiple times; a no-op on JAX versions without the knobs."""
     import jax
 
     target = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
+    if jax.default_backend() == "cpu":
+        target = os.path.join(target, f"cpu-{_host_tag()}")
     try:
         jax.config.update("jax_compilation_cache_dir", target)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
