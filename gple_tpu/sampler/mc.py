@@ -194,14 +194,36 @@ def tune_steps(key, dist_fn, dist_params, pts, displacement) -> int:
     return _round_up_pow2(max(1, min_step))
 
 
+@partial(jax.jit, static_argnums=(1, 4))
+def _probe_acceptance(key, dist_fn, dist_params, pts, n_steps, displacement):
+    _, accepts, _ = markov_chain(
+        key, dist_fn, dist_params, n_steps, pts, False, displacement
+    )
+    return jnp.mean(accepts)
+
+
 def element_monte_carlo(
-    key, dist_fn, dist_params, pts, params: MCParameters, tune: bool = True
+    key, dist_fn, dist_params, pts, params: MCParameters, tune=True
 ) -> Tuple[jnp.ndarray, jnp.ndarray, MCParameters]:
     """Tune then walk all points of one element (reference mc.cpp:339-374).
 
+    ``tune``: True runs the full displacement + autocorrelation tuning
+    (reference behavior on every selection, mc.cpp:288-331); False reuses
+    the stored parameters; "auto" probes the CURRENT displacement with a
+    short chain and re-tunes only when its acceptance left the
+    [MIN, MAX_ACCEPT_RATIO] window -- the full sweeps cost ~18k chain steps
+    through the backward-branching predictor (~10 s per re-selection,
+    the dominant optimize-phase term at N = 64), while a stable cloud's
+    tuned displacement stays valid across re-selections.
+
     Returns (new_points, new_rho, updated MCParameters).
     """
-    k1, k2, k3 = jax.random.split(key, 3)
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    if tune == "auto":
+        acc = float(_probe_acceptance(
+            k0, dist_fn, dist_params, pts, 100, params.displacement
+        ))
+        tune = not (MIN_ACCEPT_RATIO < acc < MAX_ACCEPT_RATIO)
     if tune:
         params.displacement = tune_displacement(k1, dist_fn, dist_params, pts)
         params.num_steps = tune_steps(k2, dist_fn, dist_params, pts, params.displacement)
