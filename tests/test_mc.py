@@ -104,3 +104,27 @@ def test_round_up_pow2():
     assert mc._round_up_pow2(2) == 2
     assert mc._round_up_pow2(3) == 4
     assert mc._round_up_pow2(1000) == 1024
+
+
+def test_auto_retune_probe():
+    """tune="auto" skips the full sweeps when the stored displacement is
+    still in-window and re-tunes when it is badly off."""
+    key = jax.random.PRNGKey(3)
+    pts = R0[None, :] + jax.random.normal(key, (64, 2)) * SIGMA[None, :]
+    # first: tune fully to get a valid displacement
+    p0 = mc.MCParameters()
+    _, _, tuned = mc.element_monte_carlo(
+        jax.random.PRNGKey(4), gauss_dist, (R0, SIGMA), pts, p0, tune=True
+    )
+    good_disp = tuned.displacement
+    # auto with the good displacement: no retune (displacement unchanged)
+    _, _, p_auto = mc.element_monte_carlo(
+        jax.random.PRNGKey(5), gauss_dist, (R0, SIGMA), pts, tuned, tune="auto"
+    )
+    assert p_auto.displacement == good_disp
+    # auto with an absurd displacement (acceptance ~ 0): full retune fires
+    bad = mc.MCParameters(num_steps=tuned.num_steps, displacement=1e4)
+    _, _, p_fixed = mc.element_monte_carlo(
+        jax.random.PRNGKey(6), gauss_dist, (R0, SIGMA), pts, bad, tune="auto"
+    )
+    assert p_fixed.displacement != 1e4
