@@ -33,12 +33,15 @@ def main():
     ap.add_argument("--max-ticks", type=int, default=None)
     ap.add_argument("--opt-mode", default=None, choices=["moment", "ladder"],
                     help="override GPLEConfig.opt_mode for A/B parity runs")
-    ap.add_argument("--moment-per-tick", type=int, default=None, choices=[0, 1],
-                    help="override GPLEConfig.moment_per_tick")
+    ap.add_argument("--moment-per-tick", default=None, choices=["0", "1", "off"],
+                    help="override GPLEConfig.moment_per_tick "
+                    "(off = track only the coherence lengths per tick)")
     ap.add_argument("--coh-extra", type=int, default=None,
                     help="GPLEConfig.coh_fit_extra (coherence fit boost)")
     ap.add_argument("--coh-len-div", type=float, default=None,
                     help="GPLEConfig.coh_len_div (coherence lengthscale divisor)")
+    ap.add_argument("--mc-retune", default=None, choices=["true", "false", "auto"],
+                    help="GPLEConfig.mc_retune (auto = acceptance-gated)")
     opts = ap.parse_args()
 
     import jax
@@ -57,11 +60,13 @@ def main():
         sigma_p0=opts.sigma_p, output_time=opts.output_time,
         reopt_time=opts.reopt_time, dt=opts.dt, num_points=opts.n,
         **({"opt_mode": opts.opt_mode} if opts.opt_mode else {}),
-        **({"moment_per_tick": bool(opts.moment_per_tick)}
+        **({"moment_per_tick": {"0": False, "1": True, "off": "off"}[opts.moment_per_tick]}
            if opts.moment_per_tick is not None else {}),
         **({"coh_fit_extra": opts.coh_extra} if opts.coh_extra is not None else {}),
         **({"coh_len_div": opts.coh_len_div}
            if opts.coh_len_div is not None else {}),
+        **({"mc_retune": {"true": True, "false": False, "auto": "auto"}[opts.mc_retune]}
+           if opts.mc_retune is not None else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(

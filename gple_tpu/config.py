@@ -100,9 +100,12 @@ class GPLEConfig:
     #: (RMSE 0.067 vs 0.049 frozen, x0=-2 N=64 dt=1, 2026-08-17): lengths
     #: that track the cloud every tick co-evolve with the carried-label rot
     #: and amplify the fit-evolve feedback, while parameters frozen at the
-    #: last reoptimization act as a stabilizer.  Kept as an option; ignored
-    #: under ``opt_mode="ladder"``.
-    moment_per_tick: bool = False
+    #: last reoptimization act as a stabilizer.  "off" tracks ONLY the
+    #: coherence lengths per tick (its cloud std moves fast through the
+    #: crossing while the fringe fit needs a tight std/len ratio; the
+    #: round-2 "worse" measurement was the diagonal tracking at div 2).
+    #: Ignored under ``opt_mode="ladder"``.
+    moment_per_tick: "bool | str" = False
     #: Asymmetric coherence point budget: include this many of the
     #: off-diagonal element's EXTRA points (which evolve every tick with
     #: carried labels, exactly like the main cloud) in the coherence FIT.

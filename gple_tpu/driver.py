@@ -99,11 +99,11 @@ def _off_extra_slice(extra: Density, k: int):
     return (extra.points[OFFDIAG_INDEX, :k], extra.rho[OFFDIAG_INDEX, :k])
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11))
 def _tick_fused(model: str, mass: float, dt: float, density: Density,
                 extra: Density, gps: GPStates, diag_params, off_params,
-                evolve_dist=gp_dist_all_nocut, track_moments: bool = False,
-                coh_fit_extra: int = 0):
+                evolve_dist=gp_dist_all_nocut, track_moments: str = "none",
+                coh_fit_extra: int = 0, coh_len_div: float = 2.0):
     """One tick's device work in ONE dispatch: evolve density + extra points,
     the is-very-small test, the GP refactorization from the moved points, and
     the drift-check scalars.  The per-tick host loop then costs a single
@@ -116,9 +116,11 @@ def _tick_fused(model: str, mass: float, dt: float, density: Density,
     new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
     new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
     small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
-    if track_moments:
+    if track_moments != "none":
         diag_params, off_params = moment_kernel_params(
-            new_density, diag_params, off_params
+            new_density, diag_params, off_params,
+            off_extra=_off_extra_slice(new_extra, coh_fit_extra),
+            off_len_div=coh_len_div, track_diag=(track_moments == "all"),
         )
     new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps,
                             off_extra=_off_extra_slice(new_extra, coh_fit_extra))
@@ -127,11 +129,12 @@ def _tick_fused(model: str, mass: float, dt: float, density: Density,
             new_gps.purity(), mc_purity)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11, 12))
 def _ticks_scan(model: str, mass: float, dt: float, density: Density,
                 extra: Density, gps: GPStates, diag_params, off_params,
                 n_ticks: int, evolve_dist=gp_dist_all_nocut,
-                track_moments: bool = False, coh_fit_extra: int = 0):
+                track_moments: str = "none", coh_fit_extra: int = 0,
+                coh_len_div: float = 2.0):
     """A whole CHUNK of ticks in ONE dispatch: ``lax.scan`` over
     evolve+refit, carrying (density, extra, gps).  Per-tick activation flags
     are stacked out so the host can detect an element change mid-chunk and
@@ -146,8 +149,12 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
         new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
         small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
         dgp, ogp = (
-            moment_kernel_params(new_density, diag_params, off_params)
-            if track_moments else (diag_params, off_params)
+            moment_kernel_params(
+                new_density, diag_params, off_params,
+                off_extra=_off_extra_slice(new_extra, coh_fit_extra),
+                off_len_div=coh_len_div, track_diag=(track_moments == "all"),
+            )
+            if track_moments != "none" else (diag_params, off_params)
         )
         new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps,
                                 off_extra=_off_extra_slice(new_extra, coh_fit_extra))
@@ -226,12 +233,16 @@ class GPLEDriver:
         #: density-matrix elements, drift-triggered cloud re-selections) --
         #: lets tests assert the crossing physics actually fired
         self.stats = {"element_activations": 0, "cloud_reselections": 0}
-        #: per-tick moment hyperparameter tracking (only meaningful under the
-        #: moment optimizer -- the ladder's constrained params must not be
-        #: overwritten mid-flight)
-        self._track_moments = bool(
-            cfg.moment_per_tick and cfg.opt_mode == "moment"
-        )
+        #: per-tick moment hyperparameter tracking mode: "none", "all", or
+        #: "off" (coherence only; see GPLEConfig.moment_per_tick).  Only
+        #: meaningful under the moment optimizer -- the ladder's constrained
+        #: params must not be overwritten mid-flight.
+        if cfg.opt_mode != "moment" or not cfg.moment_per_tick:
+            self._track_moments = "none"
+        else:
+            self._track_moments = (
+                "off" if cfg.moment_per_tick == "off" else "all"
+            )
         # per-driver new-point distribution functions (stable identities)
         self._new_pt_dists = tuple(
             partial(self._new_point_dist, elem=k) for k in range(NUM_ELEMENTS)
@@ -390,7 +401,7 @@ class GPLEDriver:
         density, extra, gps, smalls, pop, pur, mc_pur = _ticks_scan(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, self.gps,
             diag_params, off_params, n_ticks, evolve_dist, self._track_moments,
-            self._coh_k,
+            self._coh_k, float(cfg.coh_len_div),
         )
         smalls = np.asarray(smalls)
         active = np.asarray(self.density.active)
@@ -441,7 +452,7 @@ class GPLEDriver:
         density, extra, small, new_gps, pop, pur, mc_pur = _tick_fused(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, gps,
             diag_params, off_params, evolve_dist, self._track_moments,
-            self._coh_k,
+            self._coh_k, float(cfg.coh_len_div),
         )
         small = np.asarray(small)
         self.phase_times["evolve"] += _time.perf_counter() - t0

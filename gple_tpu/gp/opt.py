@@ -85,7 +85,9 @@ def _wstd_jnp(points, weights):
 
 
 def moment_kernel_params(density: Density, prev_diag: "RK.KernelParams",
-                         prev_off: "CK.ComplexKernelParams"):
+                         prev_off: "CK.ComplexKernelParams",
+                         off_extra=None, off_len_div: float = 2.0,
+                         track_diag: bool = True):
     """Closed-form moment-based kernel parameters from the current cloud.
 
     Jittable counterpart of ``Optimizer._moment_impl``'s parameter choice
@@ -97,19 +99,29 @@ def moment_kernel_params(density: Density, prev_diag: "RK.KernelParams",
     ``prev`` -- the GP MEAN the evolver queries is insensitive to the overall
     magnitude, and inactive elements keep their previous parameters."""
     diag_idx = jnp.asarray(DIAG_INDICES)
-    lens = jax.vmap(_wstd_jnp)(
-        density.points[diag_idx], density.rho[diag_idx, :, 0]
-    ) / 2.0
-    act_d = density.active[diag_idx][:, None]
-    diag = RK.KernelParams(
-        magnitude=prev_diag.magnitude,
-        lengths=jnp.where(act_d, lens, prev_diag.lengths),
-        noise=prev_diag.noise,
-    )
+    if track_diag:
+        lens = jax.vmap(_wstd_jnp)(
+            density.points[diag_idx], density.rho[diag_idx, :, 0]
+        ) / 2.0
+        act_d = density.active[diag_idx][:, None]
+        diag = RK.KernelParams(
+            magnitude=prev_diag.magnitude,
+            lengths=jnp.where(act_d, lens, prev_diag.lengths),
+            noise=prev_diag.noise,
+        )
+    else:
+        # per-tick DIAG tracking measured worse (RMSE 0.067 vs 0.049 frozen,
+        # round 2): the diagonal lengths co-evolve with the carried-label rot;
+        # only the coherence needs live lengths (its std moves fast through
+        # the crossing while the fringes demand a tight std/len ratio)
+        diag = prev_diag
     o_pts = density.points[OFFDIAG_INDEX]
     o_rho = density.rho[OFFDIAG_INDEX]
-    lr = _wstd_jnp(o_pts, o_rho[:, 0]) / 2.0
-    li = _wstd_jnp(o_pts, o_rho[:, 1]) / 2.0
+    if off_extra is not None:
+        o_pts = jnp.concatenate([o_pts, off_extra[0]], axis=0)
+        o_rho = jnp.concatenate([o_rho, off_extra[1]], axis=0)
+    lr = _wstd_jnp(o_pts, o_rho[:, 0]) / off_len_div
+    li = _wstd_jnp(o_pts, o_rho[:, 1]) / off_len_div
     mr = jnp.sqrt(jnp.mean(o_rho[:, 0] ** 2)) + 1e-30
     mi = jnp.sqrt(jnp.mean(o_rho[:, 1] ** 2)) + 1e-30
     act_o = density.active[OFFDIAG_INDEX]
