@@ -82,6 +82,13 @@ class GPLEConfig:
     #: off-window acceptance), a fraction of the cost when the cloud is
     #: stable (sampler/mc.py element_monte_carlo).
     mc_retune: "bool | str" = True
+    #: Drift-triggered cloud re-selection (driver._track_clouds): walk an
+    #: element's points to its current predicted density when the
+    #: |rho|-weighted label mean drifts off the cloud mean.  Re-selection
+    #: re-labels the walked points from the backward-branching predictor --
+    #: a smoothing event for the coherence; disable to measure its cost in
+    #: the carried-label feedback loop.
+    track_clouds: bool = True
     #: Hyperparameter strategy per (re)optimization: "moment" sets moment-
     #: based parameters directly (|label|-weighted cloud std / 2, corr = 0,
     #: analytic magnitudes, no search); "ladder" runs the reference-style

@@ -502,6 +502,8 @@ class GPLEDriver:
         walk the points to the current predicted density with the tuned
         Metropolis kernel (the reference's mid-run seeding machinery,
         mc.cpp:407-537, applied on drift rather than only on activation)."""
+        if not self.cfg.track_clouds:
+            return density
         pts = np.array(density.points)   # mutable copies
         rho = np.array(density.rho)
         changed = False
