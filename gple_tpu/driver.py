@@ -168,6 +168,29 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
             mc_purity)
 
 
+_observe_all = partial(jax.jit, static_argnums=(0, 3))(OBS.observe_all)
+
+
+@jax.jit
+def _cloud_drift_flags(density: Density) -> jnp.ndarray:
+    """Per-element drift criterion of :meth:`GPLEDriver._track_clouds`, on
+    device: |rho|-weighted label mean off the cloud mean by > half a cloud
+    sigma in any phase-space dim.  One scalar-sized dispatch per reopt; the
+    host pulls the full point clouds only when a flag actually fires
+    (measured: the per-reopt ``np.array(density.points)`` transfers cost
+    ~1.2 s each over the tunnel, 99 s of the cold N=256 TPU parity wall for
+    only 2 real re-selections)."""
+    w = jnp.sqrt(ri.abs2(density.rho))           # (3, N)
+    wsum = jnp.sum(w, axis=1)                     # (3,)
+    com = jnp.einsum("knd,kn->kd", density.points, w) / jnp.maximum(
+        wsum[:, None], 1e-300
+    )
+    mean = jnp.mean(density.points, axis=1)
+    std = jnp.maximum(jnp.std(density.points, axis=1), 1e-10)
+    drift = jnp.max(jnp.abs(com - mean) / std, axis=1)
+    return density.active & (wsum > 0.0) & (drift > 0.5)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _grid_predictions(model_unused, gps: GPStates, grid_pts):
     """Cutoff prediction + variance of every element on the output grid."""
@@ -226,6 +249,7 @@ class GPLEDriver:
         #: (hyperparameter search / moment fit), opt_fit (refit + extra-point
         #: regeneration) -- so a slow reopt names its dominant term
         self.phase_times = {
+            "init": 0.0,
             "evolve": 0.0, "refit": 0.0, "optimize": 0.0, "output": 0.0,
             "opt_reselect": 0.0, "opt_tune": 0.0, "opt_fit": 0.0,
         }
@@ -488,6 +512,37 @@ class GPLEDriver:
             opt_type = reopt_type if opt_type == "none" else opt_type
         return opt_type
 
+    def _relabel_gps(self, density: Density, extra: Density) -> GPStates:
+        """GP states for RELABELING walks only (reselection / new-element
+        seeding), never for evolution or observables.
+
+        The backward-branching predictor that labels walked points queries
+        the GP far from its samples.  With the coherence lengthscale boost on
+        (coh_len_div > 2) that fit is near-interpolating and extrapolates
+        wildly off-sample -- measured: the div-6 production run diverges
+        right after the first cloud reselection (pop 0.98 -> 1.95, purity
+        -> 8.1, benchmarks/tpu_r03/boost_x2_n64_div6_cpu.json) because the
+        (1,1) relabel queried the spiky coherence surface.  Here the SAME
+        coherence data is refit at the smooth default div-2 lengthscale
+        (scaling the live fit's lengths back by coh_len_div/2) purely for
+        the relabel queries."""
+        if float(self.cfg.coh_len_div) <= 2.0:
+            return self.gps
+        live = self.gps.offdiag.params
+        scale = float(self.cfg.coh_len_div) / 2.0
+        safe = live._replace(
+            real_lengths=live.real_lengths * scale,
+            imag_lengths=live.imag_lengths * scale,
+        )
+        off_pts = density.points[OFFDIAG_INDEX]
+        off_rho = density.rho[OFFDIAG_INDEX]
+        if self._coh_k > 0:
+            oe = _off_extra_slice(extra, self._coh_k)
+            off_pts = jnp.concatenate([off_pts, oe[0]], axis=0)
+            off_rho = jnp.concatenate([off_rho, oe[1]], axis=0)
+        off = CK.fit_complex(safe, off_pts, off_rho)
+        return GPStates(diag=self.gps.diag, offdiag=off, active=self.gps.active)
+
     def _track_clouds(self, density: Density) -> Density:
         """Re-select an element's points from its CURRENT GP density when the
         cloud has drifted off its own mass.
@@ -504,23 +559,20 @@ class GPLEDriver:
         mc.cpp:407-537, applied on drift rather than only on activation)."""
         if not self.cfg.track_clouds:
             return density
+        flags = np.asarray(_cloud_drift_flags(density))
+        if not flags.any():
+            return density
         pts = np.array(density.points)   # mutable copies
         rho = np.array(density.rho)
         changed = False
+        relabel_gps = None  # lazily built: one smooth refit per reselection event
         for k in range(NUM_ELEMENTS):
-            if not bool(density.active[k]):
+            if not flags[k]:
                 continue
-            w = np.abs(rho[k, :, 0] + 1j * rho[k, :, 1])
-            if w.sum() <= 0:
-                continue
-            com = (pts[k] * w[:, None]).sum(axis=0) / w.sum()
-            mean = pts[k].mean(axis=0)
-            std = np.maximum(pts[k].std(axis=0), 1e-10)
-            if np.max(np.abs(com - mean) / std) <= 0.5:
-                continue
-            self._log(f"element {ELEMENTS[k]} cloud re-selected (drift "
-                      f"{np.abs(com - mean) / std})")
+            self._log(f"element {ELEMENTS[k]} cloud re-selected")
             self.stats["cloud_reselections"] += 1
+            if relabel_gps is None:
+                relabel_gps = self._relabel_gps(density, self.extra)
             # the Metropolis target is the backward-branching predictor, not
             # the element's own GP: it derives the density from the coherence
             # and the diagonals at branch points, so it has support where the
@@ -528,7 +580,7 @@ class GPLEDriver:
             # never sampled there (the reference labels fresh points the same
             # way, new_point_predict at mc.cpp:497-517)
             p, r, self.mc_params[k] = mc.element_monte_carlo(
-                self._split(), self._new_pt_dists[k], self.gps,
+                self._split(), self._new_pt_dists[k], relabel_gps,
                 density.points[k], self.mc_params[k], tune=self.cfg.mc_retune,
             )
             pts[k], rho[k] = np.asarray(p), np.asarray(r)
@@ -538,7 +590,7 @@ class GPLEDriver:
                 # like any re-selected point)
                 kk = self._coh_k
                 bp, br, _ = mc.element_monte_carlo(
-                    self._split(), self._new_pt_dists[k], self.gps,
+                    self._split(), self._new_pt_dists[k], relabel_gps,
                     self.extra.points[k, :kk], self.mc_params[k], tune=False,
                 )
                 e_pts = np.array(self.extra.points)
@@ -566,7 +618,7 @@ class GPLEDriver:
                 [pts.reshape(-1, pts.shape[-1]), e_pts.reshape(-1, 2)]
             )
         )
-        gps = self.gps
+        gps = self._relabel_gps(density, extra)
         for k in range(NUM_ELEMENTS):
             if new_active[k] and not old_active[k]:
                 self._log(f"element {ELEMENTS[k]} appears")
@@ -599,30 +651,32 @@ class GPLEDriver:
     def observe(self, tick: int, opt_type: str) -> TickRecord:
         cfg = self.cfg
         density, gps = self.density, self.gps
-        energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
-        ppl_mci = np.asarray(OBS.population_each_surface(density))
-        ppl_prm = np.asarray(gps.population_each())
+        # one fused dispatch for every scalar (the tunnel round-trip, not the
+        # reductions themselves, dominated the output phase on TPU)
+        obs = jax.device_get(_observe_all(cfg.model, density, gps, cfg.mass))
+        ppl_prm = obs["ppl_prm_each"]
         ppl_prm = ppl_prm / max(ppl_prm.sum(), 1e-30)
         rec = TickRecord(
             time=tick * cfg.dt,
-            population_prm=float(gps.population()),
+            population_prm=float(obs["pop_prm"]),
             population_prm_each=ppl_prm,
-            population_mci=ppl_mci,
-            energy_prm=float(gps.total_energy(energies)),
-            energy_mci=float(OBS.total_energy_all_surfaces(cfg.model, density, cfg.mass)),
-            purity_prm=float(gps.purity()),
-            purity_mci=float(jnp.sum(OBS.purity_each_element(density)))
+            population_mci=obs["ppl_mci"],
+            energy_prm=float(obs["energy_prm"]),
+            energy_mci=float(obs["energy_mci"]),
+            purity_prm=float(obs["purity_prm"]),
+            purity_mci=float(obs["purity_mci_raw"])
             * purity_factor(cfg.dim) * self.purity_ratio,
-            x_average=float(OBS.r_average_one_element(density.points[0], density.rho[0])[0]),
+            x_average=float(obs["x_average"]),
             opt_type=opt_type,
         )
         self.history.append(rec)
         if self.writers:
-            self._write_outputs(rec, energies)
+            self._write_outputs(rec, jnp.asarray(obs["energies"]))
         self._log(
             f"t={rec.time:8.2f} pop={rec.population_prm:.4f} "
             f"E={rec.energy_prm:.6f} purity={rec.purity_prm:.4f} "
-            f"<x>={rec.x_average:8.3f} ppl={ppl_mci.round(4)} opt={opt_type}"
+            f"<x>={rec.x_average:8.3f} ppl={np.asarray(obs['ppl_mci']).round(4)} "
+            f"opt={opt_type}"
         )
         return rec
 
@@ -719,7 +773,11 @@ class GPLEDriver:
             start_tick = ckpt.load_checkpoint(resume_from, self) + 1
             self._log(f"resumed from {resume_from} at tick {start_tick}")
         else:
+            import time as _time
+
+            t0 = _time.perf_counter()
             self.initialize()
+            self.phase_times["init"] += _time.perf_counter() - t0
             self.observe(0, self.opt_result.opt_type)
             start_tick = 1
         total = cfg.total_ticks if max_ticks is None else min(cfg.total_ticks, max_ticks)

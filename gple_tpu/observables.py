@@ -74,6 +74,31 @@ def total_energy_all_surfaces(model: str, density: Density, mass) -> jnp.ndarray
     return num / den
 
 
+def observe_all(model: str, density: Density, gps, mass):
+    """Every per-output-tick observable in ONE device dispatch.
+
+    ``GPLEDriver.observe`` previously issued ~9 separate jitted reductions
+    per output tick; on the remote TPU backend each dispatch costs
+    ~0.2-1 s of tunnel latency, so at 78 output frames the output phase
+    alone was 76 s of the cold N=256 parity wall
+    (benchmarks/tpu_r03/parity_tpu_sac_n256_cold.json).  Fusing them into
+    one jit makes the output phase one round-trip per frame.  Covers the
+    same quantities the reference writes per output (output.cpp:41-118).
+    """
+    energies = total_energy_each_surface(model, density, mass)
+    return dict(
+        energies=energies,
+        ppl_mci=population_each_surface(density),
+        ppl_prm_each=gps.population_each(),
+        pop_prm=gps.population(),
+        energy_prm=gps.total_energy(energies),
+        energy_mci=total_energy_all_surfaces(model, density, mass),
+        purity_prm=gps.purity(),
+        purity_mci_raw=jnp.sum(purity_each_element(density)),
+        x_average=r_average_one_element(density.points[0], density.rho[0])[0],
+    )
+
+
 def purity_each_element(density: Density) -> jnp.ndarray:
     """Sum |rho|^2 per element, as a (2, 2) matrix with the off-diagonal value
     mirrored (predict.cpp:222-244); ``.sum()`` of this matrix therefore counts
