@@ -171,6 +171,45 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
 _observe_all = partial(jax.jit, static_argnums=(0, 3))(OBS.observe_all)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _reopt_epilogue(use_cutoff: bool, coh_k: int, n_extra: int,
+                    density: Density, prev_extra: Density,
+                    diag_params, off_params, keys):
+    """Everything after a reoptimization's parameter choice, in ONE dispatch:
+    refit the GP states from the (possibly re-selected) cloud, regenerate the
+    extra clouds labeled by the fresh fit (reference mc.cpp:59-120 via
+    main.cpp:165-172), and the fit-reference scalars for the drift check.
+    Replaces a ~6-dispatch host sequence (refit, 3 extra-point walks, 2
+    scalar pulls) that cost ~0.7 s of tunnel latency per reopt on the TPU
+    (opt_fit 57 s over 80 reopts, parity_tpu_sac_n256_warm.json)."""
+    gps = fit_gp_states(diag_params, off_params, density,
+                        off_extra=_off_extra_slice(prev_extra, coh_k))
+    dists = GP_DIST_ELEMS if use_cutoff else GP_DIST_ELEMS_NOCUT
+    pts, rho = [], []
+    for k in range(NUM_ELEMENTS):
+        p, r = mc.generate_extra_points_element(
+            keys[k], density.points[k], n_extra, dists[k], gps
+        )
+        if k == OFFDIAG_INDEX and coh_k > 0:
+            # carried booster cloud: evolved labels survive reoptimization
+            # (see GPLEDriver._make_extra)
+            carry = density.active[k] & prev_extra.active[k]
+            p = p.at[:coh_k].set(
+                jnp.where(carry, prev_extra.points[k, :coh_k], p[:coh_k])
+            )
+            r = r.at[:coh_k].set(
+                jnp.where(carry, prev_extra.rho[k, :coh_k], r[:coh_k])
+            )
+        inactive_p = jnp.tile(density.points[k][:1], (n_extra, 1))
+        p = jnp.where(density.active[k], p, inactive_p)
+        r = jnp.where(density.active[k], r, 0.0)
+        pts.append(p)
+        rho.append(r)
+    extra = Density(points=jnp.stack(pts), rho=jnp.stack(rho),
+                    active=density.active)
+    return gps, extra, gps.population(), gps.purity()
+
+
 @jax.jit
 def _cloud_drift_flags(density: Density) -> jnp.ndarray:
     """Per-element drift criterion of :meth:`GPLEDriver._track_clouds`, on
@@ -249,7 +288,7 @@ class GPLEDriver:
         #: (hyperparameter search / moment fit), opt_fit (refit + extra-point
         #: regeneration) -- so a slow reopt names its dominant term
         self.phase_times = {
-            "init": 0.0,
+            "init": 0.0, "seed": 0.0,
             "evolve": 0.0, "refit": 0.0, "optimize": 0.0, "output": 0.0,
             "opt_reselect": 0.0, "opt_tune": 0.0, "opt_fit": 0.0,
         }
@@ -291,6 +330,9 @@ class GPLEDriver:
 
     # -- initialization (main.cpp:25-73) ------------------------------------------
     def initialize(self):
+        import time as _time
+
+        _marks = [("start", _time.perf_counter())]
         cfg = self.cfg
         pops = cfg.initial_population
         active = np.array(
@@ -319,6 +361,7 @@ class GPLEDriver:
         density = Density(
             points=jnp.stack(new_pts), rho=jnp.stack(new_rho), active=jnp.asarray(active)
         )
+        _marks.append(("mc_select", _time.perf_counter()))
         # conserved targets (main.cpp:59-66)
         energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
         weights = np.asarray(pops) ** 2
@@ -332,6 +375,7 @@ class GPLEDriver:
         # reads self.extra when the coherence boost is on
         extra = self._make_extra(density, INIT_DIST_ELEMS, init_params)
         self.extra = extra
+        _marks.append(("extra", _time.perf_counter()))
         # optimizer + first fit (main.cpp:71-74)
         self.optimizer = Optimizer(
             model=cfg.model, mass=cfg.mass, total_energy=self.total_energy,
@@ -342,12 +386,18 @@ class GPLEDriver:
             coh_fit_extra=self._coh_k,
         )
         self.opt_result = self.optimizer.optimize(density, extra, energies)
+        _marks.append(("optimize", _time.perf_counter()))
         # in-trajectory reopts warm-start near the optimum: fewer steps
         self.optimizer.lbfgs_steps = cfg.opt_steps_reopt
         self.gps = self._refit(density)
         self._record_fit_ref(self.purity)
         self.density = density
         self.extra = extra
+        _marks.append(("refit", _time.perf_counter()))
+        self._log("init phases: " + ", ".join(
+            f"{name}={t1 - t0:.1f}s"
+            for (name, t1), (_, t0) in zip(_marks[1:], _marks[:-1])
+        ))
         return density
 
     def _make_extra(self, density: Density, dist_elems, dist_params) -> Density:
@@ -453,10 +503,22 @@ class GPLEDriver:
         self.optimizer.purity = target_purity
         self.opt_result = self.optimizer.optimize(density, self.extra, energies)
         t2 = _time.perf_counter()
-        self.gps = self._refit(density)
-        self._record_fit_ref(target_purity)
-        dist_elems = GP_DIST_ELEMS if cfg.evolve_cutoff else GP_DIST_ELEMS_NOCUT
-        self.extra = self._make_extra(density, dist_elems, self.gps)
+        diag_params, off_params = self.optimizer.fitted_params()
+        # consume one RNG split per ACTIVE element, exactly like the host
+        # _make_extra loop this replaces, so trajectories are stream-stable
+        active = np.asarray(density.active)
+        keys = jnp.stack([
+            self._split() if active[k] else jnp.zeros(2, dtype=jnp.uint32)
+            for k in range(NUM_ELEMENTS)
+        ])
+        self.gps, self.extra, pop, pur = _reopt_epilogue(
+            bool(cfg.evolve_cutoff), self._coh_k, cfg.num_extra_points,
+            density, self.extra, diag_params, off_params, keys,
+        )
+        self._fit_ref = {
+            "pop": float(pop), "pur": float(pur),
+            "target": max(float(target_purity), 1e-30),
+        }
         t3 = _time.perf_counter()
         self.phase_times["opt_reselect"] += t1 - t0
         self.phase_times["opt_tune"] += t2 - t1
@@ -486,7 +548,9 @@ class GPLEDriver:
         changed = bool(np.any(new_active != old_active))
         if changed:
             self.stats["element_activations"] += int(np.sum(new_active & ~old_active))
+            t_seed = _time.perf_counter()
             density, extra = self._element_change(density, extra, old_active, new_active)
+            self.phase_times["seed"] += _time.perf_counter() - t_seed
             # mc_pur from _tick_fused predates the reseeding: recompute so the
             # forced reopt pins the GP purity to the post-seeding point sum
             mc_pur = jnp.sum(OBS.purity_each_element(density))
@@ -778,7 +842,9 @@ class GPLEDriver:
             t0 = _time.perf_counter()
             self.initialize()
             self.phase_times["init"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             self.observe(0, self.opt_result.opt_type)
+            self.phase_times["output"] += _time.perf_counter() - t0
             start_tick = 1
         total = cfg.total_ticks if max_ticks is None else min(cfg.total_ticks, max_ticks)
 
