@@ -130,6 +130,17 @@ class GPLEConfig:
     #: ideal-label bound; div 6 at n=64 is a dead end -- gp/opt.py
     #: Optimizer.off_len_div).
     coh_len_div: float = 2.0
+    #: Fused-segment length: advance this many ticks -- including the
+    #: scheduled closed-form (moment) reoptimizations and the per-frame
+    #: observables -- in ONE jitted scan dispatch, syncing with the host once
+    #: per segment.  On the remote TPU backend blocking host round-trips, not
+    #: device compute, dominate the trajectory wall (the same N=256 SAC
+    #: trajectory measured 122 s vs 189 s of "evolve" on two days,
+    #: benchmarks/tpu_r03).  Rare events (element activation, conservation
+    #: drift, cloud re-selection) roll the segment back and replay it through
+    #: the boundary-chunked path.  0 disables; only the moment optimizer
+    #: without writers/checkpoints is eligible (driver.run).
+    fused_chunk: int = 100
     #: Run-for-run comparable to the reference: forces ``evolve_cutoff=True``
     #: (main.cpp:75-101), ``purity_target="initial"`` (main.cpp:65), and pins
     #: the complex-kernel correlation at rho = 1 (complex_kernel.h:12-13)

@@ -32,7 +32,15 @@ import numpy as np
 from gple_tpu import observables as OBS
 from gple_tpu.config import GPLEConfig
 from gple_tpu.dynamics import evolve as EV
-from gple_tpu.gp.opt import AVERAGE_TOLERANCE, Optimizer, moment_kernel_params
+from gple_tpu.gp.opt import (
+    AVERAGE_TOLERANCE,
+    INITIAL_NOISE,
+    Optimizer,
+    OptResult,
+    _fit_once_diagnostics,
+    _wstd_jnp,
+    moment_kernel_params,
+)
 from gple_tpu.io.writers import OutputWriters
 from gple_tpu.ops import complex_kernels as CK
 from gple_tpu.ops import kernels as RK
@@ -171,6 +179,36 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
 _observe_all = partial(jax.jit, static_argnums=(0, 3))(OBS.observe_all)
 
 
+def _regen_extra_core(use_cutoff: bool, coh_k: int, n_extra: int,
+                      density: Density, prev_extra: Density, gps, keys) -> Density:
+    """Regenerate the extra clouds from a fresh fit (reference mc.cpp:59-120
+    via main.cpp:165-172), traced inline: one key per element (zeros for
+    inactive elements -- their outputs are masked), carried booster labels
+    preserved for the off-diagonal (see GPLEDriver._make_extra)."""
+    dists = GP_DIST_ELEMS if use_cutoff else GP_DIST_ELEMS_NOCUT
+    pts, rho = [], []
+    for k in range(NUM_ELEMENTS):
+        p, r = mc.generate_extra_points_element(
+            keys[k], density.points[k], n_extra, dists[k], gps
+        )
+        if k == OFFDIAG_INDEX and coh_k > 0:
+            # carried booster cloud: evolved labels survive reoptimization
+            carry = density.active[k] & prev_extra.active[k]
+            p = p.at[:coh_k].set(
+                jnp.where(carry, prev_extra.points[k, :coh_k], p[:coh_k])
+            )
+            r = r.at[:coh_k].set(
+                jnp.where(carry, prev_extra.rho[k, :coh_k], r[:coh_k])
+            )
+        inactive_p = jnp.tile(density.points[k][:1], (n_extra, 1))
+        p = jnp.where(density.active[k], p, inactive_p)
+        r = jnp.where(density.active[k], r, 0.0)
+        pts.append(p)
+        rho.append(r)
+    return Density(points=jnp.stack(pts), rho=jnp.stack(rho),
+                   active=density.active)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _reopt_epilogue(use_cutoff: bool, coh_k: int, n_extra: int,
                     density: Density, prev_extra: Density,
@@ -184,30 +222,193 @@ def _reopt_epilogue(use_cutoff: bool, coh_k: int, n_extra: int,
     (opt_fit 57 s over 80 reopts, parity_tpu_sac_n256_warm.json)."""
     gps = fit_gp_states(diag_params, off_params, density,
                         off_extra=_off_extra_slice(prev_extra, coh_k))
-    dists = GP_DIST_ELEMS if use_cutoff else GP_DIST_ELEMS_NOCUT
-    pts, rho = [], []
-    for k in range(NUM_ELEMENTS):
-        p, r = mc.generate_extra_points_element(
-            keys[k], density.points[k], n_extra, dists[k], gps
-        )
-        if k == OFFDIAG_INDEX and coh_k > 0:
-            # carried booster cloud: evolved labels survive reoptimization
-            # (see GPLEDriver._make_extra)
-            carry = density.active[k] & prev_extra.active[k]
-            p = p.at[:coh_k].set(
-                jnp.where(carry, prev_extra.points[k, :coh_k], p[:coh_k])
-            )
-            r = r.at[:coh_k].set(
-                jnp.where(carry, prev_extra.rho[k, :coh_k], r[:coh_k])
-            )
-        inactive_p = jnp.tile(density.points[k][:1], (n_extra, 1))
-        p = jnp.where(density.active[k], p, inactive_p)
-        r = jnp.where(density.active[k], r, 0.0)
-        pts.append(p)
-        rho.append(r)
-    extra = Density(points=jnp.stack(pts), rho=jnp.stack(rho),
-                    active=density.active)
+    extra = _regen_extra_core(use_cutoff, coh_k, n_extra, density, prev_extra,
+                              gps, keys)
     return gps, extra, gps.population(), gps.purity()
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _fit_states_obs(coh_k: int, diag_params, off_params,
+                    density: Density, extra: Density):
+    """``fit_gp_states`` plus its integral observables in ONE dispatch.
+
+    The init-path refit used to run eagerly op-by-op, which cost ~56 s of
+    tunnel round-trips on the accelerator (init refit=56.1 s,
+    benchmarks/tpu_r03/parity_tpu_sac_n256_warm.json) for what is a
+    millisecond of device compute."""
+    gps = fit_gp_states(diag_params, off_params, density,
+                        off_extra=_off_extra_slice(extra, coh_k))
+    return gps, gps.population(), gps.purity()
+
+
+def _moment_reopt_core(coh_k: int, off_len_div: float,
+                       density: Density, extra: Density,
+                       diag_params, off_params):
+    """In-graph replica of the host moment reoptimization
+    (``Optimizer._moment_impl`` + ``_finish`` + ``fitted_params``):
+    moment lengthscales, one diagnostics fit for the analytic magnitudes,
+    and the assembled kernel parameter pytrees.  Pure function of the
+    current clouds, so a whole-trajectory scan can reoptimize on schedule
+    without a host round-trip (the reference reopts in-process every
+    ``reopt_freq`` ticks, main.cpp:165-172)."""
+    diag_idx = jnp.asarray(DIAG_INDICES)
+    dmask = density.active[diag_idx]
+    dlens = jax.vmap(_wstd_jnp)(
+        density.points[diag_idx], density.rho[diag_idx, :, 0]
+    ) / 2.0
+    dlens = jnp.where(dmask[:, None], dlens, diag_params.lengths)
+    o_pts = density.points[OFFDIAG_INDEX]
+    o_rho = density.rho[OFFDIAG_INDEX]
+    oe = _off_extra_slice(extra, coh_k)
+    if oe is not None:
+        o_pts = jnp.concatenate([o_pts, oe[0]], axis=0)
+        o_rho = jnp.concatenate([o_rho, oe[1]], axis=0)
+    lr = _wstd_jnp(o_pts, o_rho[:, 0]) / off_len_div
+    li = _wstd_jnp(o_pts, o_rho[:, 1]) / off_len_div
+    mr = jnp.sqrt(jnp.mean(o_rho[:, 0] ** 2)) + 1e-30
+    mi = jnp.sqrt(jnp.mean(o_rho[:, 1] ** 2)) + 1e-30
+    new_flat = jnp.concatenate([mr[None], lr, mi[None], li, jnp.zeros(1)])
+    prev_flat = jnp.concatenate([
+        off_params.real_magnitude[None], off_params.real_lengths,
+        off_params.imag_magnitude[None], off_params.imag_lengths,
+        off_params.corr[None],
+    ])
+    act_o = density.active[OFFDIAG_INDEX]
+    off_flat = jnp.where(act_o, new_flat, prev_flat)
+    fdt = density.points.dtype
+    data = dict(
+        dpts=density.points[diag_idx], drho=density.rho[diag_idx][..., 0],
+        depts=extra.points[diag_idx], derho=extra.rho[diag_idx][..., 0],
+        opts=density.points[OFFDIAG_INDEX], orho=density.rho[OFFDIAG_INDEX],
+        oepts=extra.points[OFFDIAG_INDEX], oerho=extra.rho[OFFDIAG_INDEX],
+        dmask=dmask.astype(fdt), omask=act_o.astype(fdt),
+    )
+    err, mags, off_mag = _fit_once_diagnostics(dlens, off_flat, data)
+    d = dlens.shape[-1]
+    diag_new = RK.KernelParams(
+        magnitude=jnp.where(dmask, mags, 1.0), lengths=dlens,
+        noise=jnp.full(2, INITIAL_NOISE, dtype=fdt),
+    )
+    off_new = CK.ComplexKernelParams(
+        magnitude=jnp.where(act_o, off_mag, 1.0),
+        real_magnitude=off_flat[0], real_lengths=off_flat[1:1 + d],
+        imag_magnitude=off_flat[1 + d], imag_lengths=off_flat[2 + d:2 + 2 * d],
+        noise=jnp.asarray(INITIAL_NOISE, dtype=fdt), corr=off_flat[-1],
+    )
+    return diag_new, off_new, err
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _split_chain(key, count: int):
+    """``count`` sequential ``jax.random.split`` subkeys in one dispatch,
+    bitwise-identical to ``count`` calls of :meth:`GPLEDriver._split` (the
+    fused trajectory scan must consume the RNG stream exactly like the host
+    loop it replaces, so an event replay resumes the same stream)."""
+    def body(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+
+    return jax.lax.scan(body, key, None, length=count)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _ticks_scan_fused(model: str, mass: float, dt: float, n_ticks: int,
+                      use_cutoff: bool, track_moments: str, coh_k: int,
+                      n_extra: int, off_len_div: float, measured_target: bool,
+                      density: Density, extra: Density, gps: GPStates,
+                      diag_params, off_params,
+                      reopt_mask, check_mask, keys_per_tick,
+                      fit_pop, fit_pur, fit_target,
+                      pur_scale, fixed_target):
+    """A whole trajectory SEGMENT -- evolve ticks, scheduled moment
+    reoptimizations, and per-tick observables -- in ONE dispatch.
+
+    The remote-TPU wall clock is dominated by blocking host round-trips, not
+    device compute (evolve phase 122 s vs 189 s for the SAME trajectory on
+    two days, benchmarks/tpu_r03/parity_tpu_sac_n256_{warm,fused}.json): the
+    per-boundary chunking of :meth:`GPLEDriver._advance_chunk` pays ~2 syncs
+    per 10 ticks plus ~6 per reoptimization.  This scan folds the scheduled
+    moment reopt (closed form, `_moment_reopt_core`) and the extra-point
+    regeneration (pre-split keys) into the tick scan, so the host syncs once
+    per ``n_ticks`` and only intervenes on rare EVENTS -- element activation,
+    conservation drift, cloud re-selection -- which are detected from the
+    stacked flags and replayed through the slow path.  Matches the per-tick
+    control flow of the reference (main.cpp:135-202) compiled into a single
+    XLA program.
+
+    ``check_mask`` marks the ticks where the chunked host loop would have
+    evaluated the conservation-drift trigger (chunk ends and non-reopt
+    boundaries), so fused and chunked paths take identical decisions.
+    """
+    evolve_dist = gp_dist_all if use_cutoff else gp_dist_all_nocut
+
+    def reopt(args):
+        density, extra, gps, dp, op, target = args
+        diag_new, off_new, err = _moment_reopt_core(
+            coh_k, off_len_div, density, extra, dp, op
+        )
+        gps2 = fit_gp_states(diag_new, off_new, density,
+                             off_extra=_off_extra_slice(extra, coh_k))
+        return diag_new, off_new, gps2, err
+
+    def body(carry, xs):
+        density, extra, gps, dp, op, fpop, fpur, ftgt = carry
+        reopt_i, check_i, key_i = xs
+        new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
+        new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
+        small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
+        dgp, ogp = (
+            moment_kernel_params(
+                new_density, dp, op,
+                off_extra=_off_extra_slice(new_extra, coh_k),
+                off_len_div=off_len_div, track_diag=(track_moments == "all"),
+            )
+            if track_moments != "none" else (dp, op)
+        )
+        new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps,
+                                off_extra=_off_extra_slice(new_extra, coh_k))
+        pop = new_gps.population()
+        pur = new_gps.purity()
+        mc_pur = jnp.sum(OBS.purity_each_element(new_density))
+        target = (mc_pur * pur_scale) if measured_target else fixed_target
+        # conservation-drift trigger, same form as GPLEDriver._drift_detected
+        tol = 2.0 * AVERAGE_TOLERANCE
+        ratio = pop / fpop
+        pop_ok = (ratio > 1.0 - tol) & (ratio < 1.0 + tol)
+        pur_cap = (1.0 + tol) * target * (fpur / ftgt)
+        drift = check_i & (~reopt_i) & ((pur > pur_cap) | (~pop_ok))
+        # cloud re-selection flags, evaluated where the host would (pre-reopt)
+        resel = reopt_i & jnp.any(_cloud_drift_flags(new_density))
+        dp2, op2, gps3, err = jax.lax.cond(
+            reopt_i, reopt,
+            lambda args: (args[3], args[4], args[2], jnp.asarray(0.0, pop.dtype)),
+            (new_density, new_extra, new_gps, dgp, ogp, target),
+        )
+        extra2 = jax.lax.cond(
+            reopt_i,
+            lambda _: _regen_extra_core(use_cutoff, coh_k, n_extra,
+                                        new_density, new_extra, gps3, key_i),
+            lambda _: new_extra,
+            None,
+        )
+        fpop2, fpur2, ftgt2 = jax.lax.cond(
+            reopt_i,
+            lambda _: (gps3.population(), gps3.purity(),
+                       jnp.maximum(target, 1e-30)),
+            lambda _: (fpop, fpur, ftgt),
+            None,
+        )
+        obs = OBS.observe_all(model, new_density, gps3, mass)
+        out = dict(small=small, drift=drift, resel=resel, err=err,
+                   mc_pur=mc_pur, obs=obs)
+        return (new_density, extra2, gps3, dp2, op2, fpop2, fpur2, ftgt2), out
+
+    carry = (density, extra, gps, diag_params, off_params,
+             fit_pop, fit_pur, fit_target)
+    carry, stacks = jax.lax.scan(
+        body, carry, (reopt_mask, check_mask, keys_per_tick), length=n_ticks
+    )
+    return carry, stacks
 
 
 @jax.jit
@@ -291,6 +492,9 @@ class GPLEDriver:
             "init": 0.0, "seed": 0.0,
             "evolve": 0.0, "refit": 0.0, "optimize": 0.0, "output": 0.0,
             "opt_reselect": 0.0, "opt_tune": 0.0, "opt_fit": 0.0,
+            # fused = whole segments (ticks + in-graph scheduled reopts) in
+            # one dispatch; fused_abort = segments rolled back on an event
+            "fused": 0.0, "fused_abort": 0.0,
         }
         #: event counters for the non-adiabatic machinery (activation of new
         #: density-matrix elements, drift-triggered cloud re-selections) --
@@ -432,8 +636,12 @@ class GPLEDriver:
 
     def _refit(self, density: Density) -> GPStates:
         diag_params, off_params = self.optimizer.fitted_params()
-        return fit_gp_states(diag_params, off_params, density,
-                             off_extra=_off_extra_slice(self.extra, self._coh_k))
+        gps, pop, pur = _fit_states_obs(self._coh_k, diag_params, off_params,
+                                        density, self.extra)
+        # stash the integral observables so a following _record_fit_ref
+        # does not re-dispatch them eagerly
+        self._fit_obs = (pop, pur)
+        return gps
 
     def _record_fit_ref(self, target_purity: float) -> None:
         """Snapshot the freshly fitted GP's integral observables.
@@ -444,9 +652,12 @@ class GPLEDriver:
         moment-mode fit carries a systematic small-N integral bias (the GP
         mean dips between sample points), and triggering on the bias itself
         would force a futile reoptimize-and-reselect every chunk."""
+        pop, pur = self.__dict__.pop("_fit_obs", (None, None))
+        if pop is None:
+            pop, pur = self.gps.population(), self.gps.purity()
         self._fit_ref = {
-            "pop": float(self.gps.population()),
-            "pur": float(self.gps.purity()),
+            "pop": float(pop),
+            "pur": float(pur),
             "target": max(float(target_purity), 1e-30),
         }
 
@@ -477,7 +688,9 @@ class GPLEDriver:
             diag_params, off_params, n_ticks, evolve_dist, self._track_moments,
             self._coh_k, float(cfg.coh_len_div),
         )
-        smalls = np.asarray(smalls)
+        # one host pull for every chunk-boundary scalar (each float()/asarray
+        # is its own tunnel round-trip on the accelerator)
+        smalls, pop, pur, mc_pur = jax.device_get((smalls, pop, pur, mc_pur))
         active = np.asarray(self.density.active)
         if np.any((~smalls) != active[None, :]):
             return False
@@ -540,7 +753,7 @@ class GPLEDriver:
             diag_params, off_params, evolve_dist, self._track_moments,
             self._coh_k, float(cfg.coh_len_div),
         )
-        small = np.asarray(small)
+        small, pop, pur, mc_pur = jax.device_get((small, pop, pur, mc_pur))
         self.phase_times["evolve"] += _time.perf_counter() - t0
         old_active = np.asarray(density.active)
         new_active = ~small
@@ -711,6 +924,113 @@ class GPLEDriver:
                         active=jnp.asarray(new_active))
         return density, extra
 
+    # -- a fused trajectory segment (scheduled reopts in-graph) ----------------------
+    def _advance_fused(self, start_tick: int, n: int, callback=None):
+        """Advance ``n`` ticks with scheduled moment reopts and observables
+        folded into ONE ``_ticks_scan_fused`` dispatch (one blocking sync).
+
+        Returns ``(ok, stopped)``.  ``ok`` is False when an EVENT fired
+        inside the segment -- element activation, conservation drift, or a
+        cloud-reselection flag -- in which case all state (including the RNG
+        key) is rolled back and the caller replays the segment through the
+        boundary-chunked path, which handles events exactly as before.
+        RNG: the scheduled reopts' extra-point keys are pre-split with
+        `_split_chain` in the same order the host loop would consume them,
+        so fused and replayed trajectories share one stream."""
+        import time as _time
+
+        cfg = self.cfg
+        t0 = _time.perf_counter()
+        opt = self.optimizer
+        snap = (self.density, self.extra, self.gps, self.key,
+                opt.diag_lengths, opt.off_params, opt.diag_magnitudes,
+                opt.off_magnitude, dict(self._fit_ref), self.opt_result)
+        ticks = np.arange(start_tick, start_tick + n)
+        reopt_mask = ticks % cfg.reopt_freq == 0
+        # drift-check cadence of the chunked path: chunk ends (tick+1 is a
+        # boundary) and non-reopt boundaries
+        in_b = (ticks % cfg.output_freq == 0) | reopt_mask
+        next_in_b = ((ticks + 1) % cfg.output_freq == 0) | (
+            (ticks + 1) % cfg.reopt_freq == 0
+        )
+        check_mask = next_in_b | (in_b & ~reopt_mask)
+        active = np.asarray(self.density.active)
+        act_idx = np.nonzero(active)[0]
+        n_reopts = int(reopt_mask.sum())
+        count = n_reopts * len(act_idx)
+        keys_seq = jnp.zeros((max(n_reopts, 1), NUM_ELEMENTS, 2),
+                             dtype=jnp.uint32)
+        if count:
+            self.key, subs = _split_chain(self.key, count)
+            keys_seq = keys_seq.at[:, act_idx, :].set(
+                subs.reshape(n_reopts, len(act_idx), 2)
+            )
+        ordinal = np.maximum(np.cumsum(reopt_mask) - 1, 0)
+        keys_per_tick = keys_seq[jnp.asarray(ordinal)]
+        diag_params, off_params = opt.fitted_params()
+        ref = self._fit_ref
+        carry, stacks = _ticks_scan_fused(
+            cfg.model, cfg.mass, cfg.dt, n,
+            bool(cfg.evolve_cutoff), self._track_moments, self._coh_k,
+            cfg.num_extra_points, float(cfg.coh_len_div),
+            cfg.purity_target == "measured",
+            self.density, self.extra, self.gps, diag_params, off_params,
+            jnp.asarray(reopt_mask), jnp.asarray(check_mask), keys_per_tick,
+            jnp.asarray(ref["pop"]), jnp.asarray(ref["pur"]),
+            jnp.asarray(ref["target"]),
+            jnp.asarray(purity_factor(cfg.dim) * self.purity_ratio),
+            jnp.asarray(self.purity),
+        )
+        density, extra, gps, dp, op, fpop, fpur, ftgt = carry
+        # ONE blocking pull for the whole segment
+        host, fpop, fpur, ftgt, dpn, opn = jax.device_get(
+            (stacks, fpop, fpur, ftgt, dp, op)
+        )
+        event = ((~host["small"]) != active[None, :]).any(axis=1)
+        event |= host["drift"]
+        if cfg.track_clouds:
+            event |= host["resel"]
+        if event.any():
+            (self.density, self.extra, self.gps, self.key,
+             opt.diag_lengths, opt.off_params, opt.diag_magnitudes,
+             opt.off_magnitude, self._fit_ref, self.opt_result) = snap
+            self.phase_times["fused_abort"] += _time.perf_counter() - t0
+            # report the first event tick so the caller replays only up to
+            # it before retrying fusion (instead of re-aborting repeatedly)
+            return False, int(ticks[np.argmax(event)])
+        self.density, self.extra, self.gps = density, extra, gps
+        # sync the host optimizer state to the last in-graph reopt
+        opt.diag_lengths = np.asarray(dpn.lengths)
+        opt.diag_magnitudes = np.asarray(dpn.magnitude)
+        opt.off_params = np.concatenate([
+            [opn.real_magnitude], opn.real_lengths, [opn.imag_magnitude],
+            opn.imag_lengths, [opn.corr],
+        ])
+        opt.off_magnitude = float(opn.magnitude)
+        self._fit_ref = {"pop": float(fpop), "pur": float(fpur),
+                         "target": float(ftgt)}
+        if n_reopts:
+            self.opt_result = OptResult(
+                error=float(host["err"][reopt_mask][-1]),
+                steps=[opt.lbfgs_steps], opt_type="moment",
+            )
+        self.phase_times["fused"] += _time.perf_counter() - t0
+        # emit the output frames from the stacked observables
+        stopped = False
+        t1 = _time.perf_counter()
+        for i in np.nonzero(ticks % cfg.output_freq == 0)[0]:
+            obs_i = {k: v[i] for k, v in host["obs"].items()}
+            opt_type = "moment" if reopt_mask[i] else "none"
+            rec = self._record_from_obs(int(ticks[i]), obs_i, opt_type)
+            if callback is not None:
+                callback(rec)
+            if rec.x_average > -cfg.x0:
+                self._log("wavepacket has left the interaction region")
+                stopped = True
+                break
+        self.phase_times["output"] += _time.perf_counter() - t1
+        return True, stopped
+
     # -- observation / output ---------------------------------------------------------
     def observe(self, tick: int, opt_type: str) -> TickRecord:
         cfg = self.cfg
@@ -718,6 +1038,10 @@ class GPLEDriver:
         # one fused dispatch for every scalar (the tunnel round-trip, not the
         # reductions themselves, dominated the output phase on TPU)
         obs = jax.device_get(_observe_all(cfg.model, density, gps, cfg.mass))
+        return self._record_from_obs(tick, obs, opt_type)
+
+    def _record_from_obs(self, tick: int, obs, opt_type: str) -> TickRecord:
+        cfg = self.cfg
         ppl_prm = obs["ppl_prm_each"]
         ppl_prm = ppl_prm / max(ppl_prm.sum(), 1e-30)
         rec = TickRecord(
@@ -851,9 +1175,30 @@ class GPLEDriver:
         def next_multiple(t: int, k: int) -> int:
             return ((t + k - 1) // k) * k if k else total
 
+        # whole-segment fusion (scheduled reopts in-graph) applies to the
+        # moment optimizer without writers/checkpoints; events fall back to
+        # the boundary-chunked path below
+        use_fused = (
+            cfg.opt_mode == "moment"
+            and cfg.fused_chunk > 0
+            and self.writers is None
+            and not (checkpoint_path and checkpoint_every)
+        )
         try:
             tick = start_tick
+            fused_block_until = 0  # replay the chunked path through an event
             while tick <= total:
+                if (use_fused and tick > fused_block_until
+                        and tick + cfg.fused_chunk - 1 <= total):
+                    ok, res = self._advance_fused(
+                        tick, cfg.fused_chunk, callback
+                    )
+                    if ok:
+                        tick += cfg.fused_chunk
+                        if res:  # stop condition hit inside the segment
+                            break
+                        continue
+                    fused_block_until = res
                 # the next tick where the host must intervene: scheduled
                 # reopt, output, or checkpoint; everything before it is pure
                 # device work and runs as one scanned chunk
