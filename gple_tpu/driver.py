@@ -311,17 +311,19 @@ def _split_chain(key, count: int):
     return jax.lax.scan(body, key, None, length=count)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
-def _ticks_scan_fused(model: str, mass: float, dt: float, n_ticks: int,
-                      use_cutoff: bool, track_moments: str, coh_k: int,
-                      n_extra: int, off_len_div: float, measured_target: bool,
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
+                      reopt_freq: int, use_cutoff: bool, track_moments: str,
+                      coh_k: int, n_extra: int, off_len_div: float,
+                      measured_target: bool,
                       density: Density, extra: Density, gps: GPStates,
                       diag_params, off_params,
-                      reopt_mask, check_mask, keys_per_tick,
+                      check_mask, keys,
                       fit_pop, fit_pur, fit_target,
                       pur_scale, fixed_target):
-    """A whole trajectory SEGMENT -- evolve ticks, scheduled moment
-    reoptimizations, and per-tick observables -- in ONE dispatch.
+    """A whole trajectory SEGMENT -- ``n_periods`` reoptimization periods of
+    ``reopt_freq`` ticks each, scheduled moment reopts included -- in ONE
+    dispatch.
 
     The remote-TPU wall clock is dominated by blocking host round-trips, not
     device compute (evolve phase 122 s vs 189 s for the SAME trajectory on
@@ -330,30 +332,33 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_ticks: int,
     per 10 ticks plus ~6 per reoptimization.  This scan folds the scheduled
     moment reopt (closed form, `_moment_reopt_core`) and the extra-point
     regeneration (pre-split keys) into the tick scan, so the host syncs once
-    per ``n_ticks`` and only intervenes on rare EVENTS -- element activation,
+    per segment and only intervenes on rare EVENTS -- element activation,
     conservation drift, cloud re-selection -- which are detected from the
     stacked flags and replayed through the slow path.  Matches the per-tick
     control flow of the reference (main.cpp:135-202) compiled into a single
     XLA program.
 
-    ``check_mask`` marks the ticks where the chunked host loop would have
-    evaluated the conservation-drift trigger (chunk ends and non-reopt
-    boundaries), so fused and chunked paths take identical decisions.
+    Structure: an outer scan over periods, each an inner scan over
+    ``reopt_freq`` plain ticks followed by an UNCONDITIONAL reopt -- a
+    ``lax.cond`` per tick lowers to execute-both-branches-and-select on TPU,
+    which made every tick pay the reopt's cold refit (~0.2 s/tick measured
+    vs 0.03 s for the plain tick).  The caller must align segments so each
+    period ends exactly on a scheduled reopt tick.
+
+    ``check_mask`` (n_periods, reopt_freq) marks the ticks where the chunked
+    host loop would have evaluated the conservation-drift trigger (chunk
+    ends and non-reopt boundaries), so fused and chunked paths take
+    identical decisions.  ``keys`` (n_periods, NUM_ELEMENTS, 2) are the
+    pre-split extra-regeneration keys, one row per scheduled reopt.
+
+    The stacked per-tick observables of a period's FINAL tick are computed
+    pre-reopt; the post-reopt values the host loop would report are returned
+    separately as ``obs_last`` and spliced in by the caller.
     """
     evolve_dist = gp_dist_all if use_cutoff else gp_dist_all_nocut
 
-    def reopt(args):
-        density, extra, gps, dp, op, target = args
-        diag_new, off_new, err = _moment_reopt_core(
-            coh_k, off_len_div, density, extra, dp, op
-        )
-        gps2 = fit_gp_states(diag_new, off_new, density,
-                             off_extra=_off_extra_slice(extra, coh_k))
-        return diag_new, off_new, gps2, err
-
-    def body(carry, xs):
+    def tick(carry, check_i):
         density, extra, gps, dp, op, fpop, fpur, ftgt = carry
-        reopt_i, check_i, key_i = xs
         new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
         new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
         small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
@@ -376,37 +381,37 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_ticks: int,
         ratio = pop / fpop
         pop_ok = (ratio > 1.0 - tol) & (ratio < 1.0 + tol)
         pur_cap = (1.0 + tol) * target * (fpur / ftgt)
-        drift = check_i & (~reopt_i) & ((pur > pur_cap) | (~pop_ok))
+        drift = check_i & ((pur > pur_cap) | (~pop_ok))
+        obs = OBS.observe_all(model, new_density, new_gps, mass)
+        out = dict(small=small, drift=drift, target=target, obs=obs)
+        return (new_density, new_extra, new_gps, dp, op,
+                fpop, fpur, ftgt), out
+
+    def period(carry, xs):
+        check_p, key_p = xs
+        carry, outs = jax.lax.scan(tick, carry, check_p, length=reopt_freq)
+        density, extra, gps, dp, op, fpop, fpur, ftgt = carry
         # cloud re-selection flags, evaluated where the host would (pre-reopt)
-        resel = reopt_i & jnp.any(_cloud_drift_flags(new_density))
-        dp2, op2, gps3, err = jax.lax.cond(
-            reopt_i, reopt,
-            lambda args: (args[3], args[4], args[2], jnp.asarray(0.0, pop.dtype)),
-            (new_density, new_extra, new_gps, dgp, ogp, target),
-        )
-        extra2 = jax.lax.cond(
-            reopt_i,
-            lambda _: _regen_extra_core(use_cutoff, coh_k, n_extra,
-                                        new_density, new_extra, gps3, key_i),
-            lambda _: new_extra,
-            None,
-        )
-        fpop2, fpur2, ftgt2 = jax.lax.cond(
-            reopt_i,
-            lambda _: (gps3.population(), gps3.purity(),
-                       jnp.maximum(target, 1e-30)),
-            lambda _: (fpop, fpur, ftgt),
-            None,
-        )
-        obs = OBS.observe_all(model, new_density, gps3, mass)
-        out = dict(small=small, drift=drift, resel=resel, err=err,
-                   mc_pur=mc_pur, obs=obs)
-        return (new_density, extra2, gps3, dp2, op2, fpop2, fpur2, ftgt2), out
+        resel = jnp.any(_cloud_drift_flags(density))
+        target = outs["target"][-1]
+        dp2, op2, err = _moment_reopt_core(coh_k, off_len_div, density, extra,
+                                           dp, op)
+        gps2 = fit_gp_states(dp2, op2, density,
+                             off_extra=_off_extra_slice(extra, coh_k))
+        extra2 = _regen_extra_core(use_cutoff, coh_k, n_extra, density, extra,
+                                   gps2, key_p)
+        obs_last = OBS.observe_all(model, density, gps2, mass)
+        new_carry = (density, extra2, gps2, dp2, op2,
+                     gps2.population(), gps2.purity(),
+                     jnp.maximum(target, 1e-30))
+        out = dict(small=outs["small"], drift=outs["drift"], resel=resel,
+                   err=err, obs=outs["obs"], obs_last=obs_last)
+        return new_carry, out
 
     carry = (density, extra, gps, diag_params, off_params,
              fit_pop, fit_pur, fit_target)
     carry, stacks = jax.lax.scan(
-        body, carry, (reopt_mask, check_mask, keys_per_tick), length=n_ticks
+        period, carry, (check_mask, keys), length=n_periods
     )
     return carry, stacks
 
@@ -942,40 +947,37 @@ class GPLEDriver:
         cfg = self.cfg
         t0 = _time.perf_counter()
         opt = self.optimizer
+        rf = cfg.reopt_freq
+        n_periods = n // rf
         snap = (self.density, self.extra, self.gps, self.key,
                 opt.diag_lengths, opt.off_params, opt.diag_magnitudes,
                 opt.off_magnitude, dict(self._fit_ref), self.opt_result)
         ticks = np.arange(start_tick, start_tick + n)
-        reopt_mask = ticks % cfg.reopt_freq == 0
+        reopt_mask = ticks % rf == 0
         # drift-check cadence of the chunked path: chunk ends (tick+1 is a
         # boundary) and non-reopt boundaries
         in_b = (ticks % cfg.output_freq == 0) | reopt_mask
-        next_in_b = ((ticks + 1) % cfg.output_freq == 0) | (
-            (ticks + 1) % cfg.reopt_freq == 0
-        )
+        next_in_b = ((ticks + 1) % cfg.output_freq == 0) | ((ticks + 1) % rf == 0)
         check_mask = next_in_b | (in_b & ~reopt_mask)
+        check_mask &= ~reopt_mask  # the scan reopts there unconditionally
         active = np.asarray(self.density.active)
         act_idx = np.nonzero(active)[0]
-        n_reopts = int(reopt_mask.sum())
-        count = n_reopts * len(act_idx)
-        keys_seq = jnp.zeros((max(n_reopts, 1), NUM_ELEMENTS, 2),
-                             dtype=jnp.uint32)
+        count = n_periods * len(act_idx)
+        keys_seq = jnp.zeros((n_periods, NUM_ELEMENTS, 2), dtype=jnp.uint32)
         if count:
             self.key, subs = _split_chain(self.key, count)
             keys_seq = keys_seq.at[:, act_idx, :].set(
-                subs.reshape(n_reopts, len(act_idx), 2)
+                subs.reshape(n_periods, len(act_idx), 2)
             )
-        ordinal = np.maximum(np.cumsum(reopt_mask) - 1, 0)
-        keys_per_tick = keys_seq[jnp.asarray(ordinal)]
         diag_params, off_params = opt.fitted_params()
         ref = self._fit_ref
         carry, stacks = _ticks_scan_fused(
-            cfg.model, cfg.mass, cfg.dt, n,
+            cfg.model, cfg.mass, cfg.dt, n_periods, rf,
             bool(cfg.evolve_cutoff), self._track_moments, self._coh_k,
             cfg.num_extra_points, float(cfg.coh_len_div),
             cfg.purity_target == "measured",
             self.density, self.extra, self.gps, diag_params, off_params,
-            jnp.asarray(reopt_mask), jnp.asarray(check_mask), keys_per_tick,
+            jnp.asarray(check_mask.reshape(n_periods, rf)), keys_seq,
             jnp.asarray(ref["pop"]), jnp.asarray(ref["pur"]),
             jnp.asarray(ref["target"]),
             jnp.asarray(purity_factor(cfg.dim) * self.purity_ratio),
@@ -986,10 +988,22 @@ class GPLEDriver:
         host, fpop, fpur, ftgt, dpn, opn = jax.device_get(
             (stacks, fpop, fpur, ftgt, dp, op)
         )
+        # flatten (n_periods, reopt_freq, ...) stacks to per-tick arrays and
+        # splice the post-reopt observables into each period's final tick
+        host["small"] = host["small"].reshape(n, NUM_ELEMENTS)
+        host["drift"] = host["drift"].reshape(n)
+        obs = {k: np.array(v.reshape((n,) + v.shape[2:]))
+               for k, v in host["obs"].items()}
+        for k, v in host["obs_last"].items():
+            obs[k][rf - 1::rf] = v
+        host["obs"] = obs
         event = ((~host["small"]) != active[None, :]).any(axis=1)
         event |= host["drift"]
         if cfg.track_clouds:
-            event |= host["resel"]
+            # re-selection flags fire at period-end (scheduled reopt) ticks
+            resel_ticks = np.zeros(n, dtype=bool)
+            resel_ticks[rf - 1::rf] = host["resel"]
+            event |= resel_ticks
         if event.any():
             (self.density, self.extra, self.gps, self.key,
              opt.diag_lengths, opt.off_params, opt.diag_magnitudes,
@@ -1009,9 +1023,9 @@ class GPLEDriver:
         opt.off_magnitude = float(opn.magnitude)
         self._fit_ref = {"pop": float(fpop), "pur": float(fpur),
                          "target": float(ftgt)}
-        if n_reopts:
+        if n_periods:
             self.opt_result = OptResult(
-                error=float(host["err"][reopt_mask][-1]),
+                error=float(host["err"][-1]),
                 steps=[opt.lbfgs_steps], opt_type="moment",
             )
         self.phase_times["fused"] += _time.perf_counter() - t0
@@ -1184,17 +1198,20 @@ class GPLEDriver:
             and self.writers is None
             and not (checkpoint_path and checkpoint_every)
         )
+        # fused segments are whole reopt periods (the scan reopts
+        # unconditionally at each period end), so they must start right
+        # after a scheduled reopt tick
+        n_fused = max(1, cfg.fused_chunk // cfg.reopt_freq) * cfg.reopt_freq
         try:
             tick = start_tick
             fused_block_until = 0  # replay the chunked path through an event
             while tick <= total:
                 if (use_fused and tick > fused_block_until
-                        and tick + cfg.fused_chunk - 1 <= total):
-                    ok, res = self._advance_fused(
-                        tick, cfg.fused_chunk, callback
-                    )
+                        and (tick - 1) % cfg.reopt_freq == 0
+                        and tick + n_fused - 1 <= total):
+                    ok, res = self._advance_fused(tick, n_fused, callback)
                     if ok:
-                        tick += cfg.fused_chunk
+                        tick += n_fused
                         if res:  # stop condition hit inside the segment
                             break
                         continue

@@ -45,6 +45,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
         target = os.path.join(target, f"cpu-{_host_tag()}")
     try:
         jax.config.update("jax_compilation_cache_dir", target)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERY compile: on the remote axon backend even a trivial
+        # eager op (dynamic_slice, convert_element_type) costs ~0.35 s of
+        # remote compilation, and driver init dispatches ~120 of them
+        # (measured 2026-08-18: 48 s of the 87 s init wall)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - knob not available
         pass
