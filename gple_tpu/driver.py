@@ -891,6 +891,9 @@ class GPLEDriver:
 
     def _element_change(self, density, extra, old_active, new_active):
         """new_element_point_selection (mc.cpp:407-537)."""
+        import time as _time
+
+        t_pull = _time.perf_counter()
         pts = np.array(density.points)   # mutable copies
         rho = np.array(density.rho)
         e_pts = np.array(extra.points)
@@ -901,13 +904,17 @@ class GPLEDriver:
             )
         )
         gps = self._relabel_gps(density, extra)
+        self._log(f"  seed: pull+relabel {_time.perf_counter() - t_pull:.1f}s")
         for k in range(NUM_ELEMENTS):
             if new_active[k] and not old_active[k]:
+                t_el = _time.perf_counter()
                 self._log(f"element {ELEMENTS[k]} appears")
                 p, r, self.mc_params[k] = mc.seed_new_element(
                     self._split(), candidates, self.cfg.num_points,
                     self._new_pt_dists[k], gps, self.mc_params[k],
                 )
+                self._log(f"  seed: element {ELEMENTS[k]} walk "
+                          f"{_time.perf_counter() - t_el:.1f}s")
                 pts[k], rho[k] = np.asarray(p), np.asarray(r)
                 if k == OFFDIAG_INDEX and self._coh_k > 0:
                     # seed the carried coherence booster the same way
@@ -1227,7 +1234,13 @@ class GPLEDriver:
                     total,
                 )
                 n_pre = boundary - tick
-                if n_pre > 0 and self._advance_chunk(n_pre):
+                # only scan the steady-state chunk length: every DISTINCT
+                # n_pre is its own XLA program, and a novel length costs a
+                # ~10-min remote compile on the axon backend (measured
+                # 2026-08-19 when fused-segment realignment produced
+                # irregular lengths); odd remainders replay tick-by-tick
+                canonical = n_pre == min(cfg.output_freq, cfg.reopt_freq) - 1
+                if n_pre > 0 and canonical and self._advance_chunk(n_pre):
                     tick = boundary
                 else:
                     # element changed mid-chunk (or nothing to chunk):

@@ -823,21 +823,28 @@ class Optimizer:
 
     # -- fitted parameters ----------------------------------------------------------
     def fitted_params(self):
-        """(diag KernelParams with analytic magnitudes, ComplexKernelParams)."""
+        """(diag KernelParams with analytic magnitudes, ComplexKernelParams).
+
+        Every scalar gets an EXPLICIT dtype: a python-float leaf is weak-typed,
+        and a weak/strong mismatch against the in-graph reopt's strongly-typed
+        params re-traces (and, over the axon tunnel, re-compiles for ~10 min)
+        every consumer of these pytrees -- measured as duplicate persistent-
+        cache entries for _ticks_scan/_ticks_scan_fused, 2026-08-19."""
+        f64 = jnp.asarray(self.diag_lengths).dtype
         diag = RK.KernelParams(
-            magnitude=jnp.asarray(self.diag_magnitudes),
-            lengths=jnp.asarray(self.diag_lengths),
-            noise=jnp.full(2, INITIAL_NOISE),
+            magnitude=jnp.asarray(self.diag_magnitudes, dtype=f64),
+            lengths=jnp.asarray(self.diag_lengths, dtype=f64),
+            noise=jnp.full(2, INITIAL_NOISE, dtype=f64),
         )
-        off = jnp.asarray(self.off_params)
+        off = jnp.asarray(self.off_params, dtype=f64)
         d = (off.shape[0] - 3) // 2
         off_p = CK.ComplexKernelParams(
-            magnitude=jnp.asarray(self.off_magnitude),
+            magnitude=jnp.asarray(self.off_magnitude, dtype=f64),
             real_magnitude=off[0],
             real_lengths=off[1 : 1 + d],
             imag_magnitude=off[1 + d],
             imag_lengths=off[2 + d : 2 + 2 * d],
-            noise=jnp.asarray(INITIAL_NOISE),
+            noise=jnp.asarray(INITIAL_NOISE, dtype=f64),
             corr=off[-1],
         )
         return diag, off_p

@@ -218,19 +218,35 @@ def element_monte_carlo(
 
     Returns (new_points, new_rho, updated MCParameters).
     """
+    import os
+    import time as _time
+
+    timing = os.environ.get("GPLE_MC_TIMING")
+    marks = [("start", _time.perf_counter())]
     k0, k1, k2, k3 = jax.random.split(key, 4)
     if tune == "auto":
         acc = float(_probe_acceptance(
             k0, dist_fn, dist_params, pts, 100, params.displacement
         ))
         tune = not (MIN_ACCEPT_RATIO < acc < MAX_ACCEPT_RATIO)
+        marks.append(("probe", _time.perf_counter()))
     if tune:
         params.displacement = tune_displacement(k1, dist_fn, dist_params, pts)
+        marks.append(("disp", _time.perf_counter()))
         params.num_steps = tune_steps(k2, dist_fn, dist_params, pts, params.displacement)
+        marks.append(("steps", _time.perf_counter()))
     final, _, _ = markov_chain(
         k3, dist_fn, dist_params, params.num_steps, pts, False, params.displacement
     )
     rho = dist_fn(dist_params, final)
+    if timing:
+        rho.block_until_ready()
+    marks.append(("walk", _time.perf_counter()))
+    if timing:
+        print("    mc: " + ", ".join(
+            f"{nm}={t1 - t0:.1f}s"
+            for (nm, t1), (_, t0) in zip(marks[1:], marks[:-1])
+        ), flush=True)
     return final, rho, params
 
 
