@@ -42,6 +42,8 @@ def main():
                     help="GPLEConfig.coh_len_div (coherence lengthscale divisor)")
     ap.add_argument("--mc-retune", default=None, choices=["true", "false", "auto"],
                     help="GPLEConfig.mc_retune (auto = acceptance-gated)")
+    ap.add_argument("--walk-surrogate", type=int, default=None, choices=[0, 1],
+                    help="GPLEConfig.mc_walk_surrogate (grid walk target)")
     ap.add_argument("--track-clouds", type=int, default=None, choices=[0, 1],
                     help="GPLEConfig.track_clouds (drift re-selection)")
     opts = ap.parse_args()
@@ -71,6 +73,8 @@ def main():
            if opts.mc_retune is not None else {}),
         **({"track_clouds": bool(opts.track_clouds)}
            if opts.track_clouds is not None else {}),
+        **({"mc_walk_surrogate": bool(opts.walk_surrogate)}
+           if opts.walk_surrogate is not None else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(

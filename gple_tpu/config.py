@@ -141,6 +141,16 @@ class GPLEConfig:
     #: the boundary-chunked path.  0 disables; only the moment optimizer
     #: without writers/checkpoints is eligible (driver.run).
     fused_chunk: int = 100
+    #: Metropolis WALK surrogate for re-selection / new-element seeding: the
+    #: chains' stationary target is a 256^2 grid sample of the backward-
+    #: branching predictor (one batched call) interpolated bilinearly,
+    #: instead of the full predictor per step.  Labels and candidate scoring
+    #: stay EXACT (reference semantics, mc.cpp:497-517) -- only point
+    #: PLACEMENT uses the surrogate.  On the remote TPU a full-predictor
+    #: chain step is kernel-launch bound (~40 ms); a tuned seeding walk cost
+    #: 80-120 s per element activation (GPLE_MC_TIMING, 2026-08-19).
+    #: Only takes effect for 2D phase spaces; False restores exact walks.
+    mc_walk_surrogate: bool = True
     #: Run-for-run comparable to the reference: forces ``evolve_cutoff=True``
     #: (main.cpp:75-101), ``purity_target="initial"`` (main.cpp:65), and pins
     #: the complex-kernel correlation at rho = 1 (complex_kernel.h:12-13)

@@ -241,6 +241,45 @@ def _fit_states_obs(coh_k: int, diag_params, off_params,
     return gps, gps.population(), gps.purity()
 
 
+#: walk-surrogate grid resolution per phase-space axis; 256 resolves the
+#: coherence fringes (grid spacing ~0.05-0.1 in p over a doubled cloud bbox,
+#: an order below the SAC fringe wavelength at p0 = 20)
+_SURR_RES = 256
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _surrogate_grid(model: str, mass: float, dt: float, elem: int,
+                    use_cutoff: bool, gps, lo, hi):
+    """|backward-branching prediction| of one element on a regular grid, in
+    ONE batched predictor call (the Metropolis chains then interpolate it,
+    see mc.element_monte_carlo ``walk``)."""
+    xs = jnp.linspace(lo[0], hi[0], _SURR_RES)
+    ps = jnp.linspace(lo[1], hi[1], _SURR_RES)
+    X, P = jnp.meshgrid(xs, ps, indexing="ij")
+    pts = jnp.stack([X.ravel(), P.ravel()], axis=-1)
+    dist = gp_dist_all if use_cutoff else gp_dist_all_nocut
+    vals = EV.predict_new_points(model, mass, dt, pts, elem, dist, gps)
+    return ri.absval(vals).reshape(_SURR_RES, _SURR_RES)
+
+
+def _surrogate_dist(params, pts):
+    """Bilinear interpolation of a `_surrogate_grid`, zero outside the box.
+    RI-shaped (imaginary part 0) so the Metropolis kernel's |.| contract
+    holds; labels are NEVER taken from this (mc.element_monte_carlo)."""
+    grid, lo, hi = params
+    res = grid.shape[0]
+    u = (pts - lo) / (hi - lo) * (res - 1)
+    i = jnp.clip(jnp.floor(u), 0, res - 2).astype(jnp.int32)
+    f = u - i
+    w = (grid[i[:, 0], i[:, 1]] * (1 - f[:, 0]) * (1 - f[:, 1])
+         + grid[i[:, 0] + 1, i[:, 1]] * f[:, 0] * (1 - f[:, 1])
+         + grid[i[:, 0], i[:, 1] + 1] * (1 - f[:, 0]) * f[:, 1]
+         + grid[i[:, 0] + 1, i[:, 1] + 1] * f[:, 0] * f[:, 1])
+    inside = jnp.all((pts >= lo) & (pts <= hi), axis=-1)
+    w = jnp.where(inside, w, 0.0)
+    return jnp.stack([w, jnp.zeros_like(w)], axis=-1)
+
+
 def _moment_reopt_core(coh_k: int, off_len_div: float,
                        density: Density, extra: Density,
                        diag_params, off_params):
@@ -825,6 +864,28 @@ class GPLEDriver:
         off = CK.fit_complex(safe, off_pts, off_rho)
         return GPStates(diag=self.gps.diag, offdiag=off, active=self.gps.active)
 
+    def _walk_surrogate(self, gps, elem: int, density: Density,
+                        extra: Density):
+        """(walk_fn, walk_params) Metropolis target for ``elem``'s chains
+        (see GPLEConfig.mc_walk_surrogate), or None for exact walks.  The
+        grid box doubles the union cloud's bounding box, so the walk can
+        follow transferred mass that sits sigmas off the seeded points; the
+        surrogate is zero outside, which simply rejects proposals there."""
+        cfg = self.cfg
+        if not cfg.mc_walk_surrogate or density.points.shape[-1] != 2:
+            return None
+        pts = jnp.concatenate([
+            density.points.reshape(-1, 2), extra.points.reshape(-1, 2)
+        ])
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        span = hi - lo
+        lo = lo - 0.5 * span
+        hi = hi + 0.5 * span
+        grid = _surrogate_grid(cfg.model, cfg.mass, cfg.dt, elem,
+                               bool(cfg.evolve_cutoff), gps, lo, hi)
+        return (_surrogate_dist, (grid, lo, hi))
+
     def _track_clouds(self, density: Density) -> Density:
         """Re-select an element's points from its CURRENT GP density when the
         cloud has drifted off its own mass.
@@ -861,9 +922,11 @@ class GPLEDriver:
             # transferred mass lands even though the element's own fit has
             # never sampled there (the reference labels fresh points the same
             # way, new_point_predict at mc.cpp:497-517)
+            walk = self._walk_surrogate(relabel_gps, k, density, self.extra)
             p, r, self.mc_params[k] = mc.element_monte_carlo(
                 self._split(), self._new_pt_dists[k], relabel_gps,
                 density.points[k], self.mc_params[k], tune=self.cfg.mc_retune,
+                walk=walk,
             )
             pts[k], rho[k] = np.asarray(p), np.asarray(r)
             if k == OFFDIAG_INDEX and self._coh_k > 0:
@@ -874,6 +937,7 @@ class GPLEDriver:
                 bp, br, _ = mc.element_monte_carlo(
                     self._split(), self._new_pt_dists[k], relabel_gps,
                     self.extra.points[k, :kk], self.mc_params[k], tune=False,
+                    walk=walk,
                 )
                 e_pts = np.array(self.extra.points)
                 e_rho = np.array(self.extra.rho)
@@ -909,9 +973,10 @@ class GPLEDriver:
             if new_active[k] and not old_active[k]:
                 t_el = _time.perf_counter()
                 self._log(f"element {ELEMENTS[k]} appears")
+                walk = self._walk_surrogate(gps, k, density, extra)
                 p, r, self.mc_params[k] = mc.seed_new_element(
                     self._split(), candidates, self.cfg.num_points,
-                    self._new_pt_dists[k], gps, self.mc_params[k],
+                    self._new_pt_dists[k], gps, self.mc_params[k], walk=walk,
                 )
                 self._log(f"  seed: element {ELEMENTS[k]} walk "
                           f"{_time.perf_counter() - t_el:.1f}s")
@@ -921,6 +986,7 @@ class GPLEDriver:
                     bp, br, _ = mc.seed_new_element(
                         self._split(), candidates, self._coh_k,
                         self._new_pt_dists[k], gps, self.mc_params[k],
+                        walk=walk,
                     )
                     e_pts[k, : self._coh_k] = np.asarray(bp)
                     e_rho[k, : self._coh_k] = np.asarray(br)

@@ -203,7 +203,7 @@ def _probe_acceptance(key, dist_fn, dist_params, pts, n_steps, displacement):
 
 
 def element_monte_carlo(
-    key, dist_fn, dist_params, pts, params: MCParameters, tune=True
+    key, dist_fn, dist_params, pts, params: MCParameters, tune=True, walk=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, MCParameters]:
     """Tune then walk all points of one element (reference mc.cpp:339-374).
 
@@ -216,27 +216,37 @@ def element_monte_carlo(
     the dominant optimize-phase term at N = 64), while a stable cloud's
     tuned displacement stays valid across re-selections.
 
+    ``walk``: optional (walk_fn, walk_params) Metropolis TARGET used for the
+    tuning sweeps and the chains instead of ``dist_fn``; the returned LABELS
+    always come from the exact ``dist_fn`` (one batched call).  The driver
+    passes a grid-sampled surrogate of the backward-branching predictor
+    here: a chain step through the full predictor costs ~40 ms on the
+    remote TPU (kernel-launch bound -- ~100 kernels per step), so a tuned
+    2048-step walk was ~80 s; the surrogate's bilinear interpolation is ~10
+    kernels per step for the same stationary shape.
+
     Returns (new_points, new_rho, updated MCParameters).
     """
     import os
     import time as _time
 
+    walk_fn, walk_params = walk if walk is not None else (dist_fn, dist_params)
     timing = os.environ.get("GPLE_MC_TIMING")
     marks = [("start", _time.perf_counter())]
     k0, k1, k2, k3 = jax.random.split(key, 4)
     if tune == "auto":
         acc = float(_probe_acceptance(
-            k0, dist_fn, dist_params, pts, 100, params.displacement
+            k0, walk_fn, walk_params, pts, 100, params.displacement
         ))
         tune = not (MIN_ACCEPT_RATIO < acc < MAX_ACCEPT_RATIO)
         marks.append(("probe", _time.perf_counter()))
     if tune:
-        params.displacement = tune_displacement(k1, dist_fn, dist_params, pts)
+        params.displacement = tune_displacement(k1, walk_fn, walk_params, pts)
         marks.append(("disp", _time.perf_counter()))
-        params.num_steps = tune_steps(k2, dist_fn, dist_params, pts, params.displacement)
+        params.num_steps = tune_steps(k2, walk_fn, walk_params, pts, params.displacement)
         marks.append(("steps", _time.perf_counter()))
     final, _, _ = markov_chain(
-        k3, dist_fn, dist_params, params.num_steps, pts, False, params.displacement
+        k3, walk_fn, walk_params, params.num_steps, pts, False, params.displacement
     )
     rho = dist_fn(dist_params, final)
     if timing:
@@ -265,14 +275,19 @@ def generate_extra_points_element(key, pts, n_extra: int, dist_fn, dist_params):
 
 
 def seed_new_element(key, candidate_pts, num_points: int, dist_fn, dist_params,
-                     params: MCParameters):
+                     params: MCParameters, walk=None):
     """Seed a newly-populated element (reference mc.cpp:407-537): evaluate the
     predicted density at every existing coordinate, keep the ``num_points``
     with largest |rho| (zero-density picks are replaced by the best point),
-    then random-walk them into place."""
+    then random-walk them into place.
+
+    ``walk``: optional (walk_fn, walk_params) Metropolis TARGET standing in
+    for ``dist_fn`` during the chains only -- candidate scoring and the final
+    labels always use the exact ``dist_fn`` (see element_monte_carlo)."""
     rho_all = dist_fn(dist_params, candidate_pts)
     score = ri.abs2(rho_all)
     top_score, top_idx = jax.lax.top_k(score, num_points)
     best = top_idx[0]
     chosen = jnp.where((top_score > 0.0)[:, None], candidate_pts[top_idx], candidate_pts[best])
-    return element_monte_carlo(key, dist_fn, dist_params, chosen, params, tune=True)
+    return element_monte_carlo(key, dist_fn, dist_params, chosen, params,
+                               tune=True, walk=walk)
