@@ -1275,20 +1275,34 @@ class GPLEDriver:
         # unconditionally at each period end), so they must start right
         # after a scheduled reopt tick
         n_fused = max(1, cfg.fused_chunk // cfg.reopt_freq) * cfg.reopt_freq
+        # abort hysteresis: an aborted segment's device work is wasted
+        # (measured 422 s aborted vs 19 s useful on an event-heavy run,
+        # benchmarks/tpu_r03/boost_x2_n64_div6_relabelfix.json), so after an
+        # abort probe with ONE-period segments and only return to full
+        # length after two clean ones.  Exactly two segment lengths total --
+        # every distinct length is its own XLA program and a fresh compile
+        # costs ~10 min over the remote-TPU tunnel.
+        seg_len = n_fused
+        clean_streak = 0
         try:
             tick = start_tick
             fused_block_until = 0  # replay the chunked path through an event
             while tick <= total:
                 if (use_fused and tick > fused_block_until
                         and (tick - 1) % cfg.reopt_freq == 0
-                        and tick + n_fused - 1 <= total):
-                    ok, res = self._advance_fused(tick, n_fused, callback)
+                        and tick + seg_len - 1 <= total):
+                    ok, res = self._advance_fused(tick, seg_len, callback)
                     if ok:
-                        tick += n_fused
+                        tick += seg_len
+                        clean_streak += 1
+                        if clean_streak >= 2:
+                            seg_len = n_fused
                         if res:  # stop condition hit inside the segment
                             break
                         continue
                     fused_block_until = res
+                    seg_len = cfg.reopt_freq
+                    clean_streak = 0
                 # the next tick where the host must intervene: scheduled
                 # reopt, output, or checkpoint; everything before it is pure
                 # device work and runs as one scanned chunk
