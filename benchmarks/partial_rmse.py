@@ -1,0 +1,92 @@
+"""Population RMSE vs DVR from a (possibly truncated) parity run log.
+
+``benchmarks/parity.py`` only prints its JSON line after the full
+trajectory; a run killed by a wall-clock limit leaves just the per-frame
+``t=...  ppl=[...]`` records (driver.py observe logging, which prints the
+MC-estimator populations rounded to 4 decimals -- two orders below the
+RMSE scale being measured).  This recomputes the same headline metric from
+those records so a truncated run still yields a committed number, flagged
+with the time range actually covered.
+
+Usage: python benchmarks/partial_rmse.py <run.log> [--model SAC] [--x0 -4]
+       [--p0 20] [--sigma-p 1] [--dt 1] [--output-time 10]
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_LINE = re.compile(r"t=\s*([0-9.]+)\s.*ppl=\[([^\]]+)\]")
+
+
+def parse_log(path):
+    times, p0 = [], []
+    with open(path) as fh:
+        for ln in fh:
+            m = _LINE.search(ln)
+            if m:
+                times.append(float(m.group(1)))
+                p0.append(float(m.group(2).split()[0]))
+    return times, p0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("log")
+    ap.add_argument("--model", default="SAC")
+    ap.add_argument("--x0", type=float, default=-4.0)
+    ap.add_argument("--p0", type=float, default=20.0)
+    ap.add_argument("--sigma-p", type=float, default=1.0)
+    ap.add_argument("--dt", type=float, default=1.0)
+    ap.add_argument("--output-time", type=float, default=10.0)
+    opts = ap.parse_args()
+
+    times, gple_p0 = parse_log(opts.log)
+    if not times:
+        print(json.dumps({"error": "no records parsed", "log": opts.log}))
+        return 1
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from gple_tpu.config import GPLEConfig
+    from gple_tpu.oracles.schrodinger import DVRConfig, DVRSolver
+
+    # identical oracle setup to benchmarks/parity.py
+    cfg = GPLEConfig(model=opts.model, mass=2000.0, x0=opts.x0, p0=opts.p0,
+                     sigma_p0=opts.sigma_p, output_time=opts.output_time,
+                     reopt_time=opts.output_time, dt=opts.dt, num_points=8)
+    se_cfg = DVRConfig(model=opts.model, boundary="reflective", mass=cfg.mass,
+                       x0=cfg.x0, p0=cfg.p0, sigma_p=cfg.sigma_p0,
+                       xmin=cfg.xmin, xmax=cfg.xmax, dx_input=1.0,
+                       output_time=cfg.output_time, dt_input=cfg.dt)
+    se = DVRSolver(se_cfg).run(store_wigner=False)
+
+    gple_t = np.asarray(times)
+    gple_p = np.asarray(gple_p0)
+    se_p0 = np.interp(gple_t, se.times, se.populations[:, 0])
+    n_cmp = min(len(gple_t), int(np.searchsorted(gple_t, se.times[-1]) + 1))
+    rmse = float(np.sqrt(np.mean((gple_p[:n_cmp] - se_p0[:n_cmp]) ** 2)))
+    print(json.dumps({
+        "metric": f"Tully-{opts.model} population RMSE vs DVR (mci, from log)",
+        "value": round(rmse, 6),
+        "unit": "population",
+        "frames_compared": int(n_cmp),
+        "t_range": [gple_t[0], gple_t[min(n_cmp, len(gple_t)) - 1]],
+        "dvr_t_last": float(se.times[-1]),
+        "truncated": bool(gple_t[-1] < se.times[-1]),
+        "source_log": opts.log,
+        "target": 1e-3,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
