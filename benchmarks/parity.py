@@ -46,6 +46,8 @@ def main():
                     help="GPLEConfig.mc_walk_surrogate (grid walk target)")
     ap.add_argument("--track-clouds", type=int, default=None, choices=[0, 1],
                     help="GPLEConfig.track_clouds (drift re-selection)")
+    ap.add_argument("--coh-rescale", type=int, default=None, choices=[0, 1],
+                    help="GPLEConfig.coh_boost_rescale (purity clamp)")
     opts = ap.parse_args()
 
     import jax
@@ -75,6 +77,8 @@ def main():
            if opts.track_clouds is not None else {}),
         **({"mc_walk_surrogate": bool(opts.walk_surrogate)}
            if opts.walk_surrogate is not None else {}),
+        **({"coh_boost_rescale": bool(opts.coh_rescale)}
+           if opts.coh_rescale is not None else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(

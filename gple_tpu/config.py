@@ -130,6 +130,21 @@ class GPLEConfig:
     #: ideal-label bound; div 6 at n=64 is a dead end -- gp/opt.py
     #: Optimizer.off_len_div).
     coh_len_div: float = 2.0
+    #: Scalar purity-conservation rescale of the coherence labels (main
+    #: cloud + carried booster slots) at every host reoptimization: shrink
+    #: all off-diagonal labels by one factor s <= 1 so the MC purity never
+    #: exceeds the run's initial purity.  The carried-booster feedback loop
+    #: (labels -> fit -> backward prediction -> labels) has positive gain at
+    #: coh_len_div >= 4 and blows up purity after ~15 reopt periods
+    #: (measured: purity 1.05 at t=320 -> 2.2 by t=360 at N=256,
+    #: benchmarks/tpu_r03/boost_n256_div6_cpu.json, while the windowed RMSE
+    #: before onset was 0.0017 vs 0.0106 unboosted); one scalar per reopt
+    #: clamps the loop gain without touching the fringe STRUCTURE the
+    #: booster carries.  The reference applies the same conservation-rescale
+    #: move to population+energy (test/gpr.cpp:913-992).  Forces the
+    #: boundary-chunked path (the in-graph fused reopt does not implement
+    #: the rescale).
+    coh_boost_rescale: bool = False
     #: Fused-segment length: advance this many ticks -- including the
     #: scheduled closed-form (moment) reoptimizations and the per-frame
     #: observables -- in ONE jitted scan dispatch, syncing with the host once

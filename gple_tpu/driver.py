@@ -748,6 +748,34 @@ class GPLEDriver:
             self._reoptimize(target_purity)
         return True
 
+    def _coh_purity_rescale(self) -> float:
+        """Scalar conservation rescale of the coherence labels (main cloud +
+        carried booster slots) against the run's INITIAL purity; returns the
+        factor applied (1.0 = no-op).  See GPLEConfig.coh_boost_rescale for
+        the measured instability this clamps; the move itself is the
+        reference's conservation-rescale idea (test/gpr.cpp:913-992) applied
+        to the third tracked invariant."""
+        import math
+
+        pf = purity_factor(self.cfg.dim) * self.purity_ratio
+        m = np.asarray(OBS.purity_each_element(self.density))
+        p_diag = float(m[0, 0] + m[1, 1]) * pf
+        p_off = float(m[0, 1] + m[1, 0]) * pf  # off-diagonal counted twice
+        if p_off <= 0.0:
+            return 1.0
+        s = math.sqrt(max(self.purity - p_diag, 0.0) / p_off)
+        if s >= 1.0:
+            return 1.0
+        self.density = self.density._replace(
+            rho=self.density.rho.at[OFFDIAG_INDEX].multiply(s)
+        )
+        if self._coh_k > 0:
+            self.extra = self.extra._replace(
+                rho=self.extra.rho.at[OFFDIAG_INDEX, : self._coh_k].multiply(s)
+            )
+        self.stats["coh_rescales"] = self.stats.get("coh_rescales", 0) + 1
+        return s
+
     def _reoptimize(self, target_purity: float) -> str:
         import time as _time
 
@@ -755,6 +783,9 @@ class GPLEDriver:
         t0 = _time.perf_counter()
         density = self._track_clouds(self.density)
         self.density = density
+        if cfg.coh_boost_rescale:
+            self._coh_purity_rescale()
+            density = self.density
         t1 = _time.perf_counter()
         energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
         self.optimizer.purity = target_purity
@@ -1270,6 +1301,10 @@ class GPLEDriver:
             and cfg.fused_chunk > 0
             and self.writers is None
             and not (checkpoint_path and checkpoint_every)
+            # the in-graph fused reopt does not implement the coherence
+            # purity rescale -- fall back to the chunked path so the flag's
+            # physics actually applies (see GPLEConfig.coh_boost_rescale)
+            and not cfg.coh_boost_rescale
         )
         # fused segments are whole reopt periods (the scan reopts
         # unconditionally at each period end), so they must start right

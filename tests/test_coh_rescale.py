@@ -1,0 +1,91 @@
+"""Coherence purity-conservation rescale (GPLEConfig.coh_boost_rescale).
+
+One scalar per reoptimization shrinks all off-diagonal labels (main cloud +
+carried booster slots) so the MC purity never exceeds the run's initial
+purity -- the clamp on the carried-booster feedback loop whose divergence is
+recorded in benchmarks/tpu_r03/boost_n256_div6_cpu.json.  The move mirrors
+the reference's conservation rescale for population+energy
+(test/gpr.cpp:913-992).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gple_tpu import observables as OBS
+from gple_tpu.config import GPLEConfig
+from gple_tpu.driver import GPLEDriver, OFFDIAG_INDEX
+from gple_tpu.utils.constants import purity_factor
+
+
+@pytest.fixture(scope="module")
+def driver():
+    cfg = GPLEConfig(
+        model="SAC", mass=2000.0, x0=-2.0, p0=20.0, sigma_p0=1.0,
+        output_time=2.0, reopt_time=2.0, dt=1.0, num_points=16,
+        coh_fit_extra=16, coh_len_div=6.0, coh_boost_rescale=True,
+    )
+    drv = GPLEDriver(cfg)
+    drv.initialize()
+    return drv
+
+
+def _total_purity(drv):
+    pf = purity_factor(drv.cfg.dim) * drv.purity_ratio
+    return float(np.sum(np.asarray(OBS.purity_each_element(drv.density)))) * pf
+
+
+def test_noop_when_within_budget(driver):
+    before = driver.density.rho.copy()
+    s = driver._coh_purity_rescale()
+    assert s == 1.0
+    np.testing.assert_array_equal(np.asarray(driver.density.rho),
+                                  np.asarray(before))
+
+
+def test_inflated_coherence_is_clamped_back_to_initial_purity(driver):
+    # activate the off-diagonal element with labels 10x too hot
+    pts = driver.density.points[OFFDIAG_INDEX]
+    amp = 2.0 * float(jnp.abs(driver.density.rho).max())
+    hot = amp * jnp.exp(-0.05 * jnp.sum((pts - pts.mean(0)) ** 2, axis=-1))
+    driver.density = driver.density._replace(
+        rho=driver.density.rho.at[OFFDIAG_INDEX, :, 0].set(hot),
+        active=jnp.asarray([True, True, True]),
+    )
+    driver.extra = driver.extra._replace(
+        rho=driver.extra.rho.at[OFFDIAG_INDEX, :, 0].set(1.0),
+        active=jnp.asarray([True, True, True]),
+    )
+    assert _total_purity(driver) > driver.purity  # precondition: blown up
+    booster_before = np.asarray(
+        driver.extra.rho[OFFDIAG_INDEX, : driver._coh_k]
+    )
+    diag_before = np.asarray(driver.density.rho)[[0, 2]]
+    s = driver._coh_purity_rescale()
+    assert 0.0 < s < 1.0
+    # total purity restored to the initial budget
+    assert _total_purity(driver) == pytest.approx(driver.purity, rel=1e-9)
+    # diagonals untouched; booster slots scaled by the same factor
+    np.testing.assert_array_equal(
+        np.asarray(driver.density.rho)[[0, 2]], diag_before
+    )
+    np.testing.assert_allclose(
+        np.asarray(driver.extra.rho[OFFDIAG_INDEX, : driver._coh_k]),
+        booster_before * s, rtol=1e-12,
+    )
+    assert driver.stats["coh_rescales"] == 1
+
+
+def test_rescale_forces_chunked_path():
+    cfg = GPLEConfig(
+        model="SAC", mass=2000.0, x0=-2.0, p0=20.0, sigma_p0=1.0,
+        output_time=2.0, reopt_time=2.0, dt=1.0, num_points=16,
+        fused_chunk=10, coh_boost_rescale=True,
+    )
+    # mirrors the use_fused condition in GPLEDriver.run: the in-graph fused
+    # reopt has no rescale, so the flag must force the chunked path
+    assert cfg.opt_mode == "moment" and cfg.fused_chunk > 0
+    drv = GPLEDriver(cfg)
+    hist = drv.run(max_ticks=6)
+    assert drv.phase_times["fused"] == 0.0
+    assert len(hist) > 0
