@@ -107,19 +107,28 @@ def main():
     gple_p0 = np.array([r.population_mci[0] for r in hist])
     gple_p0_prm = np.array([r.population_prm_each[0] for r in hist])
     se_p0 = np.interp(gple_t, se.times, se.populations[:, 0])
-    n_cmp = min(len(gple_t), int(np.searchsorted(gple_t, se.times[-1]) + 1))
+    # side="right": frames strictly past the DVR horizon would interp-clamp
+    # to the last DVR value and bias the RMSE (ADVICE r3)
+    n_cmp = min(len(gple_t),
+                int(np.searchsorted(gple_t, se.times[-1], side="right")))
     rmse = float(np.sqrt(np.mean((gple_p0[:n_cmp] - se_p0[:n_cmp]) ** 2)))
     rmse_prm = float(np.sqrt(np.mean((gple_p0_prm[:n_cmp] - se_p0[:n_cmp]) ** 2)))
+
+    def _num(x):
+        # a diverged run's RMSE must serialize as null, not an astronomical
+        # float (VERDICT r3 artifact-hygiene item)
+        return round(x, 6) if np.isfinite(x) and abs(x) < 1e6 else None
+
     print(
         json.dumps(
             {
                 # headline policy (fixed ex ante, VERDICT r2 weak #6): the MC
                 # estimator is always "value"; prm stays a secondary field
                 "metric": f"Tully-{opts.model} population RMSE vs DVR (mci)",
-                "value": round(rmse, 6),
+                "value": _num(rmse),
                 "unit": "population",
-                "rmse_mci": round(rmse, 6),
-                "rmse_prm": round(rmse_prm, 6),
+                "rmse_mci": _num(rmse),
+                "rmse_prm": _num(rmse_prm),
                 "gple_wall_s": round(t_gple, 1),
                 "dvr_wall_s": round(t_se, 1),
                 "frames_compared": int(n_cmp),

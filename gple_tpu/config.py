@@ -145,6 +145,34 @@ class GPLEConfig:
     #: boundary-chunked path (the in-graph fused reopt does not implement
     #: the rescale).
     coh_boost_rescale: bool = False
+    #: Conservation-preserving relabel: after a cloud re-selection walks and
+    #: relabels an element's points, rescale the new labels by one scalar so
+    #: the element's MC-integral estimator is CONTINUOUS across the event
+    #: (diagonals: sum of Re rho; coherence: sum of |rho|^2, with the carried
+    #: booster scaled by the same factor).  A re-selection only re-samples
+    #: the field -- the physical population/purity cannot jump in one tick --
+    #: but the point-sum estimators are trajectory-ensemble invariants whose
+    #: normalization a fresh Metropolis sample does NOT reproduce: the
+    #: round-3 div-6 booster run diverged exactly at the first reselection
+    #: relabel (purity 5.9, diagonal populations 1.24,
+    #: benchmarks/tpu_r03/boost_n256_div6_rescale_x2.json).  The reference
+    #: prevents the same jump by re-optimizing with population/purity pinned
+    #: as equality constraints right after its mid-run seeding
+    #: (opt.cpp:644-719 via main.cpp:145-163); this scalar is the moment-mode
+    #: equivalent.  A relabel whose raw integral is wildly off (factor > 5 or
+    #: sign flip) is REJECTED: the element keeps its previous points+labels
+    #: (failure containment in the spirit of the reference's make_normal /
+    #: try-catch fallbacks, opt.cpp:418-431).
+    relabel_conserve: bool = True
+    #: During re-selection relabeling of a DIAGONAL element, mask the
+    #: coherence's contribution out of the backward-branching predictor (the
+    #: relabel query walks through the off-diagonal rotation, so a spiky
+    #: boosted coherence fit pollutes the fresh diagonal labels -- the
+    #: isolated mechanism of the round-3 booster divergence,
+    #: docs/DESIGN.md).  The diagonal's own GP already carries the
+    #: transferred population; masking drops only the one-tick coherence
+    #: correction from the relabel query.
+    relabel_mask_coh: bool = False
     #: Fused-segment length: advance this many ticks -- including the
     #: scheduled closed-form (moment) reoptimizations and the per-frame
     #: observables -- in ONE jitted scan dispatch, syncing with the host once

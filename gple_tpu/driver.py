@@ -784,8 +784,16 @@ class GPLEDriver:
         density = self._track_clouds(self.density)
         self.density = density
         if cfg.coh_boost_rescale:
-            self._coh_purity_rescale()
+            s = self._coh_purity_rescale()
             density = self.density
+            if s < 1.0 and cfg.purity_target == "measured":
+                # the caller derived target_purity from the PRE-rescale MC
+                # purity; recompute from the clamped labels so the drift cap
+                # and (in ladder mode) the purity constraint pin the fit to
+                # the density that actually exists now (ADVICE r3)
+                target_purity = float(
+                    jnp.sum(OBS.purity_each_element(density))
+                ) * purity_factor(cfg.dim) * self.purity_ratio
         t1 = _time.perf_counter()
         energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
         self.optimizer.purity = target_purity
@@ -895,6 +903,41 @@ class GPLEDriver:
         off = CK.fit_complex(safe, off_pts, off_rho)
         return GPStates(diag=self.gps.diag, offdiag=off, active=self.gps.active)
 
+    #: relabel-continuity factors outside this band mean the relabel query
+    #: itself is corrupt -- reject the re-selection instead of scaling
+    RELABEL_SCALE_BAND = (0.2, 5.0)
+
+    def _relabel_scale(self, k: int, rho_old, rho_new):
+        """Continuity factor for a re-selected element's fresh labels, or
+        None when the relabel should be rejected outright.
+
+        A re-selection re-samples the SAME physical field, so the element's
+        point-sum estimators (diagonals: sum Re rho, the population
+        numerator, observables.py:22-27; coherence: sum |rho|^2, the purity
+        share) must be continuous across it -- the raw sums are
+        trajectory-ensemble invariants whose scale a fresh Metropolis sample
+        does not reproduce.  See GPLEConfig.relabel_conserve; the reference
+        enforces the same continuity by constraint-pinned reoptimization
+        after its mid-run seeding (opt.cpp:644-719 via main.cpp:145-163)."""
+        old = np.asarray(rho_old)
+        new = np.asarray(rho_new)
+        if k == OFFDIAG_INDEX:
+            pre = float(np.sum(old[:, 0] ** 2 + old[:, 1] ** 2))
+            post = float(np.sum(new[:, 0] ** 2 + new[:, 1] ** 2))
+            if post <= 0.0 or pre <= 0.0:
+                return None
+            s = float(np.sqrt(pre / post))
+        else:
+            pre = float(np.sum(old[:, 0]))
+            post = float(np.sum(new[:, 0]))
+            if post == 0.0 or pre == 0.0 or (pre > 0) != (post > 0):
+                return None  # sign flip: the relabel query is corrupt
+            s = pre / post
+        lo, hi = self.RELABEL_SCALE_BAND
+        if not (lo <= s <= hi) or not np.isfinite(s):
+            return None
+        return s
+
     def _walk_surrogate(self, gps, elem: int, density: Density,
                         extra: Density):
         """(walk_fn, walk_params) Metropolis target for ``elem``'s chains
@@ -953,17 +996,41 @@ class GPLEDriver:
             # transferred mass lands even though the element's own fit has
             # never sampled there (the reference labels fresh points the same
             # way, new_point_predict at mc.cpp:497-517)
-            walk = self._walk_surrogate(relabel_gps, k, density, self.extra)
+            gps_k = relabel_gps
+            if self.cfg.relabel_mask_coh and k != OFFDIAG_INDEX:
+                # diagonal relabel with the coherence contribution masked out
+                # of the predictor (see GPLEConfig.relabel_mask_coh)
+                gps_k = relabel_gps._replace(
+                    active=relabel_gps.active.at[OFFDIAG_INDEX].set(False)
+                )
+            walk = self._walk_surrogate(gps_k, k, density, self.extra)
             p, r, self.mc_params[k] = mc.element_monte_carlo(
-                self._split(), self._new_pt_dists[k], relabel_gps,
+                self._split(), self._new_pt_dists[k], gps_k,
                 density.points[k], self.mc_params[k], tune=self.cfg.mc_retune,
                 walk=walk,
             )
+            s = 1.0
+            if self.cfg.relabel_conserve:
+                s = self._relabel_scale(k, density.rho[k], r)
+                if s is None:
+                    # the relabel query is corrupt: keep the element's
+                    # previous points+labels (see GPLEConfig.relabel_conserve)
+                    self._log(f"element {ELEMENTS[k]} relabel REJECTED "
+                              f"(integral jump outside band)")
+                    self.stats["relabel_rejects"] = (
+                        self.stats.get("relabel_rejects", 0) + 1
+                    )
+                    continue
+                r = r * s
+                self.stats["relabel_rescales"] = (
+                    self.stats.get("relabel_rescales", 0) + 1
+                )
             pts[k], rho[k] = np.asarray(p), np.asarray(r)
             if k == OFFDIAG_INDEX and self._coh_k > 0:
                 # the carried booster tracks the transferred mass with the
                 # same walk (labels from the backward-branching predictor,
-                # like any re-selected point)
+                # like any re-selected point), scaled by the SAME continuity
+                # factor so booster and main cloud keep representing one field
                 kk = self._coh_k
                 bp, br, _ = mc.element_monte_carlo(
                     self._split(), self._new_pt_dists[k], relabel_gps,
@@ -973,7 +1040,7 @@ class GPLEDriver:
                 e_pts = np.array(self.extra.points)
                 e_rho = np.array(self.extra.rho)
                 e_pts[k, :kk] = np.asarray(bp)
-                e_rho[k, :kk] = np.asarray(br)
+                e_rho[k, :kk] = np.asarray(br) * s
                 self.extra = Density(points=jnp.asarray(e_pts),
                                      rho=jnp.asarray(e_rho),
                                      active=self.extra.active)

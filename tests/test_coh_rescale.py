@@ -18,8 +18,12 @@ from gple_tpu.driver import GPLEDriver, OFFDIAG_INDEX
 from gple_tpu.utils.constants import purity_factor
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def driver():
+    # function-scoped: the inflation test mutates the driver, and under
+    # reordered test execution a shared instance sitting exactly at the
+    # purity budget can rescale by s marginally below 1.0 and break the
+    # no-op test's exact-equality assertion (ADVICE r3)
     cfg = GPLEConfig(
         model="SAC", mass=2000.0, x0=-2.0, p0=20.0, sigma_p0=1.0,
         output_time=2.0, reopt_time=2.0, dt=1.0, num_points=16,

@@ -1,0 +1,182 @@
+"""Cloud re-selection relabeling as a first-class tested mechanism.
+
+`GPLEDriver._track_clouds` re-walks a drifted element's points and relabels
+them from the backward-branching predictor -- the reference's mid-run seeding
+machinery (mc.cpp:407-537) applied on drift.  Round 3 isolated this relabel as
+the booster divergence trigger (purity 5.9, diagonal populations corrupted,
+benchmarks/tpu_r03/boost_n256_div6_rescale_x2.json): a fresh Metropolis sample
+does not reproduce the trajectory-ensemble normalization of the point-sum
+estimators.  The reference survives the same event because its post-seeding
+reoptimization pins population/purity as equality constraints
+(opt.cpp:644-719 via main.cpp:145-163); the moment-mode equivalent is the
+conservation-preserving relabel (GPLEConfig.relabel_conserve) tested here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gple_tpu.driver as drv_mod
+from gple_tpu import observables as OBS
+from gple_tpu.config import GPLEConfig
+from gple_tpu.driver import GPLEDriver
+from gple_tpu.storage import DIAG_INDICES, OFFDIAG_INDEX
+
+
+def _sums(density):
+    """(diag0 sum-Re, diag1 sum-Re, offdiag sum-|rho|^2) raw MC integrals."""
+    rho = np.asarray(density.rho)
+    return (
+        float(rho[DIAG_INDICES[0], :, 0].sum()),
+        float(rho[DIAG_INDICES[1], :, 0].sum()),
+        float((rho[OFFDIAG_INDEX] ** 2).sum()),
+    )
+
+
+@pytest.fixture()
+def crossing_driver():
+    """A driver mid-crossing with an ACTIVE, fringed, boosted coherence."""
+    cfg = GPLEConfig(
+        model="SAC", mass=2000.0, x0=-2.0, p0=20.0, sigma_p0=1.0,
+        output_time=2.0, reopt_time=2.0, dt=1.0, num_points=32,
+        coh_fit_extra=32, coh_len_div=6.0, coh_boost_rescale=True,
+        seed=3,
+    )
+    drv = GPLEDriver(cfg)
+    drv.initialize()
+    # manufacture a mid-crossing state: both surfaces populated, coherence
+    # carrying p-fringes (the div-6 surface whose relabel kills the booster)
+    pts = np.array(drv.density.points)
+    rho = np.array(drv.density.rho)
+    rng = np.random.default_rng(0)
+    for k in range(3):
+        pts[k] = np.stack([
+            rng.normal(0.0, 0.4, pts.shape[1]),
+            rng.normal(20.0, 1.2, pts.shape[1]),
+        ], axis=-1)
+    env0 = np.exp(-0.5 * ((pts[0][:, 1] - 20.0) / 1.2) ** 2)
+    env2 = np.exp(-0.5 * ((pts[2][:, 1] - 19.0) / 1.2) ** 2)
+    rho[DIAG_INDICES[0], :, 0] = 0.10 * env0
+    rho[DIAG_INDICES[0], :, 1] = 0.0
+    rho[DIAG_INDICES[1], :, 0] = 0.04 * env2
+    rho[DIAG_INDICES[1], :, 1] = 0.0
+    fr = 4.0 * pts[OFFDIAG_INDEX][:, 1]  # ~4 rad per unit p: tight fringes
+    envc = np.exp(-0.5 * ((pts[OFFDIAG_INDEX][:, 1] - 19.5) / 1.2) ** 2)
+    rho[OFFDIAG_INDEX, :, 0] = 0.05 * envc * np.cos(fr)
+    rho[OFFDIAG_INDEX, :, 1] = 0.05 * envc * np.sin(fr)
+    drv.density = drv.density._replace(
+        points=jnp.asarray(pts), rho=jnp.asarray(rho),
+        active=jnp.asarray([True, True, True]),
+    )
+    e_pts = np.array(drv.extra.points)
+    e_rho = np.array(drv.extra.rho)
+    kk = drv._coh_k
+    e_pts[OFFDIAG_INDEX, :kk] = pts[OFFDIAG_INDEX]
+    e_rho[OFFDIAG_INDEX, :kk] = rho[OFFDIAG_INDEX]
+    drv.extra = drv.extra._replace(
+        points=jnp.asarray(e_pts), rho=jnp.asarray(e_rho),
+        active=jnp.asarray([True, True, True]),
+    )
+    energies = OBS.total_energy_each_surface(cfg.model, drv.density, cfg.mass)
+    drv.optimizer.optimize(drv.density, drv.extra, energies)
+    drv.gps = drv._refit(drv.density)
+    return drv
+
+
+def _force_reselect(monkeypatch, flags):
+    monkeypatch.setattr(
+        drv_mod, "_cloud_drift_flags",
+        lambda density: jnp.asarray(flags),
+    )
+
+
+def test_relabel_preserves_element_integrals(crossing_driver, monkeypatch):
+    """A forced all-element re-selection must keep every element's raw MC
+    integral continuous (diagonal sum-rho exactly, coherence sum-|rho|^2
+    exactly, up to the scalar applied) -- red under the pre-fix relabel."""
+    drv = crossing_driver
+    pre = _sums(drv.density)
+    _force_reselect(monkeypatch, [True, True, True])
+    new_density = drv._track_clouds(drv.density)
+    post = _sums(new_density)
+    rejected = drv.stats.get("relabel_rejects", 0)
+    rescaled = drv.stats.get("relabel_rescales", 0)
+    assert rejected + rescaled == 3
+    # every accepted relabel preserves its element's integral to float
+    # precision; rejected ones keep the old points (trivially preserved)
+    for a, b in zip(pre, post):
+        assert b == pytest.approx(a, rel=1e-9)
+
+
+def test_relabel_bounds_purity_jump(crossing_driver, monkeypatch):
+    """The coherence's purity share is pinned EXACTLY (it is the booster
+    feedback channel); the diagonals pin their population estimator instead,
+    so the total purity may move a little -- but it must stay bounded, unlike
+    the pre-fix relabel (purity 5.9 from ~1.0 in the round-3 run)."""
+    drv = crossing_driver
+    m_pre = np.asarray(OBS.purity_each_element(drv.density))
+    _force_reselect(monkeypatch, [True, True, True])
+    new_density = drv._track_clouds(drv.density)
+    m_post = np.asarray(OBS.purity_each_element(new_density))
+    # off-diagonal share exact (when the relabel was accepted; a reject
+    # preserves it trivially)
+    assert m_post[0, 1] == pytest.approx(m_pre[0, 1], rel=1e-9)
+    # total purity continuous to well under the drift-trigger scale
+    assert np.sum(m_post) == pytest.approx(np.sum(m_pre), rel=0.15)
+
+
+def test_relabel_scale_band_and_sign_rules():
+    cfg = GPLEConfig(model="SAC", num_points=8)
+    drv = GPLEDriver(cfg)
+    old_d = np.zeros((4, 2))
+    old_d[:, 0] = 0.25
+    new_d = np.zeros((4, 2))
+    # exact factor recovered inside the band
+    new_d[:, 0] = 0.5
+    assert drv._relabel_scale(0, old_d, new_d) == pytest.approx(0.5)
+    # out-of-band inflation -> rejected
+    new_d[:, 0] = 10.0
+    assert drv._relabel_scale(0, old_d, new_d) is None
+    # sign flip -> rejected
+    new_d[:, 0] = -0.25
+    assert drv._relabel_scale(0, old_d, new_d) is None
+    # off-diagonal: |rho|^2 continuity, phase structure untouched
+    old_o = np.stack([np.full(4, 0.1), np.full(4, 0.1)], axis=-1)
+    new_o = 2.0 * old_o
+    assert drv._relabel_scale(OFFDIAG_INDEX, old_o, new_o) == pytest.approx(0.5)
+    # zero relabel -> rejected, not a divide-by-zero
+    assert drv._relabel_scale(OFFDIAG_INDEX, old_o, np.zeros((4, 2))) is None
+
+
+def test_relabel_conserve_off_reproduces_legacy_jump(crossing_driver,
+                                                     monkeypatch):
+    """With the knob off, the relabeled integrals are whatever the predictor
+    says (the legacy behavior whose jump was the divergence trigger)."""
+    drv = crossing_driver
+    object.__setattr__(drv.cfg, "relabel_conserve", False)
+    pre = _sums(drv.density)
+    _force_reselect(monkeypatch, [True, True, True])
+    new_density = drv._track_clouds(drv.density)
+    post = _sums(new_density)
+    assert drv.stats.get("relabel_rescales", 0) == 0
+    # the point of the fix: unconstrained relabels generally DO jump
+    jumps = [abs(b / a - 1.0) for a, b in zip(pre, post) if a != 0.0]
+    assert max(jumps) > 1e-6
+
+
+def test_masked_diagonal_relabel(crossing_driver, monkeypatch):
+    """relabel_mask_coh: diagonal relabel labels must be computed with the
+    coherence contribution zeroed (differs from the unmasked labels when the
+    coherence is hot)."""
+    drv = crossing_driver
+    _force_reselect(monkeypatch, [True, False, False])
+    # unmasked run
+    key_before = drv.key
+    d_unmasked = drv._track_clouds(drv.density)
+    # masked run from the SAME rng stream
+    drv.key = key_before
+    object.__setattr__(drv.cfg, "relabel_mask_coh", True)
+    d_masked = drv._track_clouds(drv.density)
+    assert not np.allclose(
+        np.asarray(d_masked.rho[0]), np.asarray(d_unmasked.rho[0])
+    )
