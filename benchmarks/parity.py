@@ -48,6 +48,13 @@ def main():
                     help="GPLEConfig.track_clouds (drift re-selection)")
     ap.add_argument("--coh-rescale", type=int, default=None, choices=[0, 1],
                     help="GPLEConfig.coh_boost_rescale (purity clamp)")
+    ap.add_argument("--init-cache", type=int, default=None, choices=[0, 1],
+                    help="GPLEConfig.init_cache (restore the deterministic "
+                    "init state on repeat runs of the same config)")
+    ap.add_argument("--relabel-conserve", type=int, default=None,
+                    choices=[0, 1], help="GPLEConfig.relabel_conserve")
+    ap.add_argument("--relabel-mask-coh", type=int, default=None,
+                    choices=[0, 1], help="GPLEConfig.relabel_mask_coh")
     opts = ap.parse_args()
 
     import jax
@@ -79,6 +86,12 @@ def main():
            if opts.walk_surrogate is not None else {}),
         **({"coh_boost_rescale": bool(opts.coh_rescale)}
            if opts.coh_rescale is not None else {}),
+        **({"init_cache": bool(opts.init_cache)}
+           if opts.init_cache is not None else {}),
+        **({"relabel_conserve": bool(opts.relabel_conserve)}
+           if opts.relabel_conserve is not None else {}),
+        **({"relabel_mask_coh": bool(opts.relabel_mask_coh)}
+           if opts.relabel_mask_coh is not None else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(

@@ -194,6 +194,17 @@ class GPLEConfig:
     #: 80-120 s per element activation (GPLE_MC_TIMING, 2026-08-19).
     #: Only takes effect for 2D phase spaces; False restores exact walks.
     mc_walk_surrogate: bool = True
+    #: Cache the INITIALIZATION state (Metropolis-selected seed cloud, tuned
+    #: MC parameters, first fit, conserved targets, post-init RNG key) on
+    #: disk, keyed by every config field, and restore it on repeat runs of
+    #: the same config.  Initialization is deterministic given the config
+    #: seed, so a restored run is bitwise-identical to a cold one -- but on
+    #: the remote-TPU tunnel the init walk's dispatches are exposed to
+    #: queue variance measured at 4.1-510 s for the SAME cached program
+    #: (docs/DESIGN.md round-3 wall decomposition); restoring skips them
+    #: entirely.  The same move as the XLA compilation cache, applied to
+    #: the one remaining cold-start phase.
+    init_cache: bool = False
     #: Run-for-run comparable to the reference: forces ``evolve_cutoff=True``
     #: (main.cpp:75-101), ``purity_target="initial"`` (main.cpp:65), and pins
     #: the complex-kernel correlation at rho = 1 (complex_kernel.h:12-13)

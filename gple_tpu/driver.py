@@ -107,11 +107,12 @@ def _off_extra_slice(extra: Density, k: int):
     return (extra.points[OFFDIAG_INDEX, :k], extra.rho[OFFDIAG_INDEX, :k])
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11, 12))
 def _tick_fused(model: str, mass: float, dt: float, density: Density,
                 extra: Density, gps: GPStates, diag_params, off_params,
                 evolve_dist=gp_dist_all_nocut, track_moments: str = "none",
-                coh_fit_extra: int = 0, coh_len_div: float = 2.0):
+                coh_fit_extra: int = 0, coh_len_div: float = 2.0,
+                block_diag: bool = False):
     """One tick's device work in ONE dispatch: evolve density + extra points,
     the is-very-small test, the GP refactorization from the moved points, and
     the drift-check scalars.  The per-tick host loop then costs a single
@@ -131,18 +132,19 @@ def _tick_fused(model: str, mass: float, dt: float, density: Density,
             off_len_div=coh_len_div, track_diag=(track_moments == "all"),
         )
     new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps,
-                            off_extra=_off_extra_slice(new_extra, coh_fit_extra))
+                            off_extra=_off_extra_slice(new_extra, coh_fit_extra),
+                            block_diag=block_diag)
     mc_purity = jnp.sum(OBS.purity_each_element(new_density))
     return (new_density, new_extra, small, new_gps, new_gps.population(),
             new_gps.purity(), mc_purity)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11, 12, 13))
 def _ticks_scan(model: str, mass: float, dt: float, density: Density,
                 extra: Density, gps: GPStates, diag_params, off_params,
                 n_ticks: int, evolve_dist=gp_dist_all_nocut,
                 track_moments: str = "none", coh_fit_extra: int = 0,
-                coh_len_div: float = 2.0):
+                coh_len_div: float = 2.0, block_diag: bool = False):
     """A whole CHUNK of ticks in ONE dispatch: ``lax.scan`` over
     evolve+refit, carrying (density, extra, gps).  Per-tick activation flags
     are stacked out so the host can detect an element change mid-chunk and
@@ -165,7 +167,8 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
             if track_moments != "none" else (diag_params, off_params)
         )
         new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps,
-                                off_extra=_off_extra_slice(new_extra, coh_fit_extra))
+                                off_extra=_off_extra_slice(new_extra, coh_fit_extra),
+                                block_diag=block_diag)
         return (new_density, new_extra, new_gps), small
 
     (density, extra, gps), smalls = jax.lax.scan(
@@ -209,10 +212,11 @@ def _regen_extra_core(use_cutoff: bool, coh_k: int, n_extra: int,
                    active=density.active)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8))
 def _reopt_epilogue(use_cutoff: bool, coh_k: int, n_extra: int,
                     density: Density, prev_extra: Density,
-                    diag_params, off_params, keys):
+                    diag_params, off_params, keys,
+                    block_diag: bool = False):
     """Everything after a reoptimization's parameter choice, in ONE dispatch:
     refit the GP states from the (possibly re-selected) cloud, regenerate the
     extra clouds labeled by the fresh fit (reference mc.cpp:59-120 via
@@ -221,15 +225,17 @@ def _reopt_epilogue(use_cutoff: bool, coh_k: int, n_extra: int,
     scalar pulls) that cost ~0.7 s of tunnel latency per reopt on the TPU
     (opt_fit 57 s over 80 reopts, parity_tpu_sac_n256_warm.json)."""
     gps = fit_gp_states(diag_params, off_params, density,
-                        off_extra=_off_extra_slice(prev_extra, coh_k))
+                        off_extra=_off_extra_slice(prev_extra, coh_k),
+                        block_diag=block_diag)
     extra = _regen_extra_core(use_cutoff, coh_k, n_extra, density, prev_extra,
                               gps, keys)
     return gps, extra, gps.population(), gps.purity()
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0, 5))
 def _fit_states_obs(coh_k: int, diag_params, off_params,
-                    density: Density, extra: Density):
+                    density: Density, extra: Density,
+                    block_diag: bool = False):
     """``fit_gp_states`` plus its integral observables in ONE dispatch.
 
     The init-path refit used to run eagerly op-by-op, which cost ~56 s of
@@ -237,7 +243,8 @@ def _fit_states_obs(coh_k: int, diag_params, off_params,
     benchmarks/tpu_r03/parity_tpu_sac_n256_warm.json) for what is a
     millisecond of device compute."""
     gps = fit_gp_states(diag_params, off_params, density,
-                        off_extra=_off_extra_slice(extra, coh_k))
+                        off_extra=_off_extra_slice(extra, coh_k),
+                        block_diag=block_diag)
     return gps, gps.population(), gps.purity()
 
 
@@ -282,7 +289,7 @@ def _surrogate_dist(params, pts):
 
 def _moment_reopt_core(coh_k: int, off_len_div: float,
                        density: Density, extra: Density,
-                       diag_params, off_params):
+                       diag_params, off_params, block_diag: bool = False):
     """In-graph replica of the host moment reoptimization
     (``Optimizer._moment_impl`` + ``_finish`` + ``fitted_params``):
     moment lengthscales, one diagnostics fit for the analytic magnitudes,
@@ -322,7 +329,7 @@ def _moment_reopt_core(coh_k: int, off_len_div: float,
         oepts=extra.points[OFFDIAG_INDEX], oerho=extra.rho[OFFDIAG_INDEX],
         dmask=dmask.astype(fdt), omask=act_o.astype(fdt),
     )
-    err, mags, off_mag = _fit_once_diagnostics(dlens, off_flat, data)
+    err, mags, off_mag = _fit_once_diagnostics(dlens, off_flat, data, block_diag)
     d = dlens.shape[-1]
     diag_new = RK.KernelParams(
         magnitude=jnp.where(dmask, mags, 1.0), lengths=dlens,
@@ -350,7 +357,7 @@ def _split_chain(key, count: int):
     return jax.lax.scan(body, key, None, length=count)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 23))
 def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
                       reopt_freq: int, use_cutoff: bool, track_moments: str,
                       coh_k: int, n_extra: int, off_len_div: float,
@@ -359,7 +366,8 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
                       diag_params, off_params,
                       check_mask, keys,
                       fit_pop, fit_pur, fit_target,
-                      pur_scale, fixed_target):
+                      pur_scale, fixed_target,
+                      block_diag: bool = False):
     """A whole trajectory SEGMENT -- ``n_periods`` reoptimization periods of
     ``reopt_freq`` ticks each, scheduled moment reopts included -- in ONE
     dispatch.
@@ -410,7 +418,8 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
             if track_moments != "none" else (dp, op)
         )
         new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps,
-                                off_extra=_off_extra_slice(new_extra, coh_k))
+                                off_extra=_off_extra_slice(new_extra, coh_k),
+                                block_diag=block_diag)
         pop = new_gps.population()
         pur = new_gps.purity()
         mc_pur = jnp.sum(OBS.purity_each_element(new_density))
@@ -434,9 +443,10 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
         resel = jnp.any(_cloud_drift_flags(density))
         target = outs["target"][-1]
         dp2, op2, err = _moment_reopt_core(coh_k, off_len_div, density, extra,
-                                           dp, op)
+                                           dp, op, block_diag)
         gps2 = fit_gp_states(dp2, op2, density,
-                             off_extra=_off_extra_slice(extra, coh_k))
+                             off_extra=_off_extra_slice(extra, coh_k),
+                             block_diag=block_diag)
         extra2 = _regen_extra_core(use_cutoff, coh_k, n_extra, density, extra,
                                    gps2, key_p)
         obs_last = OBS.observe_all(model, density, gps2, mass)
@@ -561,6 +571,38 @@ class GPLEDriver:
         #: static coherence-boost size (see GPLEConfig.coh_fit_extra)
         self._coh_k = min(int(cfg.coh_fit_extra), cfg.num_extra_points)
 
+    def _init_cache_path(self) -> str:
+        """Path of the cached initialization state (GPLEConfig.init_cache),
+        keyed by EVERY config field except the cache knob itself (any field
+        could influence the init walk, the first fit, or the RNG stream)."""
+        import dataclasses as _dc
+        import hashlib
+        import os
+
+        from gple_tpu.utils.cache import _DEFAULT_DIR
+
+        fields = _dc.asdict(self.cfg)
+        fields.pop("init_cache", None)
+        key = hashlib.sha1(repr(sorted(fields.items())).encode()).hexdigest()[:16]
+        d = os.path.join(
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR),
+            "init_states",
+        )
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"init_{key}.npz")
+
+    def _block_diag(self) -> bool:
+        """True when the complex fit may run block-diagonal (corr = 0): the
+        moment optimizer never sets a nonzero Re-Im correlation, so its fits
+        split into two (N, N) SPD solves -- 4x fewer flops on the step's
+        dominant matmul chain (CK.fit_complex).  Checked against the live
+        parameter vector so a resumed legacy checkpoint (corr pinned to 1)
+        can never silently drop its correlation."""
+        if self.cfg.opt_mode != "moment":
+            return False
+        opt = getattr(self, "optimizer", None)
+        return opt is None or float(np.asarray(opt.off_params)[-1]) == 0.0
+
     def _log(self, msg):
         if self.verbose:
             print(msg, flush=True)
@@ -681,7 +723,7 @@ class GPLEDriver:
     def _refit(self, density: Density) -> GPStates:
         diag_params, off_params = self.optimizer.fitted_params()
         gps, pop, pur = _fit_states_obs(self._coh_k, diag_params, off_params,
-                                        density, self.extra)
+                                        density, self.extra, self._block_diag())
         # stash the integral observables so a following _record_fit_ref
         # does not re-dispatch them eagerly
         self._fit_obs = (pop, pur)
@@ -730,7 +772,7 @@ class GPLEDriver:
         density, extra, gps, smalls, pop, pur, mc_pur = _ticks_scan(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, self.gps,
             diag_params, off_params, n_ticks, evolve_dist, self._track_moments,
-            self._coh_k, float(cfg.coh_len_div),
+            self._coh_k, float(cfg.coh_len_div), self._block_diag(),
         )
         # one host pull for every chunk-boundary scalar (each float()/asarray
         # is its own tunnel round-trip on the accelerator)
@@ -810,6 +852,7 @@ class GPLEDriver:
         self.gps, self.extra, pop, pur = _reopt_epilogue(
             bool(cfg.evolve_cutoff), self._coh_k, cfg.num_extra_points,
             density, self.extra, diag_params, off_params, keys,
+            self._block_diag(),
         )
         self._fit_ref = {
             "pop": float(pop), "pur": float(pur),
@@ -834,7 +877,7 @@ class GPLEDriver:
         density, extra, small, new_gps, pop, pur, mc_pur = _tick_fused(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, gps,
             diag_params, off_params, evolve_dist, self._track_moments,
-            self._coh_k, float(cfg.coh_len_div),
+            self._coh_k, float(cfg.coh_len_div), self._block_diag(),
         )
         small, pop, pur, mc_pur = jax.device_get((small, pop, pur, mc_pur))
         self.phase_times["evolve"] += _time.perf_counter() - t0
@@ -900,7 +943,8 @@ class GPLEDriver:
             oe = _off_extra_slice(extra, self._coh_k)
             off_pts = jnp.concatenate([off_pts, oe[0]], axis=0)
             off_rho = jnp.concatenate([off_rho, oe[1]], axis=0)
-        off = CK.fit_complex(safe, off_pts, off_rho)
+        off = CK.fit_complex(safe, off_pts, off_rho,
+                             block_diag=self._block_diag())
         return GPStates(diag=self.gps.diag, offdiag=off, active=self.gps.active)
 
     #: relabel-continuity factors outside this band mean the relabel query
@@ -1153,6 +1197,7 @@ class GPLEDriver:
             jnp.asarray(ref["target"]),
             jnp.asarray(purity_factor(cfg.dim) * self.purity_ratio),
             jnp.asarray(self.purity),
+            self._block_diag(),
         )
         density, extra, gps, dp, op, fpop, fpur, ftgt = carry
         # ONE blocking pull for the whole segment
@@ -1349,7 +1394,14 @@ class GPLEDriver:
             import time as _time
 
             t0 = _time.perf_counter()
-            self.initialize()
+            init_ck = self._init_cache_path() if cfg.init_cache else None
+            if init_ck and __import__("os").path.exists(init_ck):
+                ckpt.load_checkpoint(init_ck, self)
+                self._log(f"init restored from cache {init_ck}")
+            else:
+                self.initialize()
+                if init_ck:
+                    ckpt.save_checkpoint(init_ck, self, 0)
             self.phase_times["init"] += _time.perf_counter() - t0
             t0 = _time.perf_counter()
             self.observe(0, self.opt_result.opt_type)

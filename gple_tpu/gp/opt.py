@@ -166,7 +166,7 @@ def _diag_loss(diag_lengths, data):
     return _diag_loss_from_states(_diag_states(diag_lengths, data), data)
 
 
-def _off_state(off_flat, data):
+def _off_state(off_flat, data, block_diag: bool = False):
     # off_flat: (m_R, l_R(d), m_I, l_I(d), corr) -- 2d + 3 entries
     d = (off_flat.shape[0] - 3) // 2
     params = CK.ComplexKernelParams(
@@ -178,7 +178,8 @@ def _off_state(off_flat, data):
         noise=jnp.asarray(INITIAL_NOISE),
         corr=off_flat[-1],
     )
-    return CK.fit_complex(params, data["opts"], data["orho"])
+    return CK.fit_complex(params, data["opts"], data["orho"],
+                          block_diag=block_diag)
 
 
 def _off_loss_from_state(state, data):
@@ -526,16 +527,17 @@ def _analytic_magnitudes(diag_lengths, off_flat, data):
     return mags, off_mag
 
 
-@jax.jit
-def _fit_once_diagnostics(diag_lengths, off_flat, data):
+@partial(jax.jit, static_argnums=(3,))
+def _fit_once_diagnostics(diag_lengths, off_flat, data, block_diag: bool = False):
     """ONE fit of every element -> (log error, analytic magnitudes).
 
     The moment optimizer needs both the run.log error diagnostic and the
     analytic magnitudes; deriving them from the same fitted states halves
     the closed-form reoptimization's O(N^3) cost (the fits are the whole
-    cost -- there is no search)."""
+    cost -- there is no search).  ``block_diag``: the moment optimizer's
+    corr = 0 invariant splits the complex fit into two (N, N) blocks."""
     dstates = _diag_states(diag_lengths, data)
-    ostate = _off_state(off_flat, data)
+    ostate = _off_state(off_flat, data, block_diag)
     err = _diag_loss_from_states(dstates, data) + _off_loss_from_state(ostate, data)
     mags = jax.vmap(RK.optimal_magnitude)(dstates)
     off_mag = CK.optimal_magnitude_complex(ostate)
@@ -776,7 +778,8 @@ class Optimizer:
         else:
             off = np.asarray(self.off_params)
         err, mags, off_mag = _fit_once_diagnostics(
-            jnp.asarray(diag), jnp.asarray(off), data
+            jnp.asarray(diag), jnp.asarray(off), data,
+            float(off[-1]) == 0.0,
         )
         res = dict(
             diag_lengths=diag, off_params=off, error=float(err), tag="moment",

@@ -157,6 +157,11 @@ class ComplexTrainState(NamedTuple):
         w12 = -(self.p_im + self.q_im)
         return jnp.block([[w11, w12], [w21, w22]])
 
+    def diag_blocks(self):
+        """(W11, W22) of the SPD embedding -- the warm starts for the
+        ``block_diag`` fit path (corr = 0, where W12 = W21 = 0 exactly)."""
+        return self.p_re + self.q_re, self.p_re - self.q_re
+
 
 def estimate_chirp(features, labels_ri) -> jnp.ndarray:
     """|label|-weighted LSQ estimate of the local fringe wavevector k.
@@ -201,7 +206,8 @@ def estimate_chirp(features, labels_ri) -> jnp.ndarray:
 
 
 def fit_complex(params: ComplexKernelParams, features, labels,
-                chirp: bool = False, w_warm=None) -> ComplexTrainState:
+                chirp: bool = False, w_warm=None,
+                block_diag: bool = False) -> ComplexTrainState:
     """Factorize the augmented training system (TrainingComplexKernel ctor,
     complex_kernel.cpp:221-268).  ``labels`` is (N, 2) RI.
 
@@ -225,6 +231,16 @@ def fit_complex(params: ComplexKernelParams, features, labels,
 
         P = [(W11 + W22) + i (W21 - W12)] / 2
         Q = [(W11 - W22) - i (W21 + W12)] / 2
+
+    ``block_diag`` (STATIC; caller guarantees corr = 0, the moment-mode
+    production structure): the coupling block C = 2 sigma^2 corr K_C
+    vanishes, so M = blockdiag(K + R, K - R) and W = blockdiag(W11, W22) --
+    TWO (N, N) SPD inverses instead of one (2N, 2N), a 4x matmul saving on
+    the step's dominant cost (the (2N)^3 Newton-Schulz chain).  ``w_warm``
+    is then the (W11, W22) pair from :meth:`ComplexTrainState.diag_blocks`.
+    The refinement of v below runs against the full augmented operator
+    either way, so any corr != 0 leakage would surface as a v residual, not
+    silent error.
     """
     from gple_tpu.ops.linalg import psd_inverse, psd_inverse_warm
 
@@ -240,14 +256,30 @@ def fit_complex(params: ComplexKernelParams, features, labels,
         chirp_k = jnp.zeros(features.shape[-1], dtype=features.dtype)
     n = features.shape[-2]
     k64, kt_re64, kt_im64 = covariance_matrices(params, features, features, same=True)
-    m = jnp.block([[k64 + kt_re64, kt_im64], [kt_im64, k64 - kt_re64]])
-    w = psd_inverse(m) if w_warm is None else psd_inverse_warm(m, w_warm)
-    w11, w12 = w[:n, :n], w[:n, n:]
-    w21, w22 = w[n:, :n], w[n:, n:]
-    p_re = 0.5 * (w11 + w22)
-    p_im = 0.5 * (w21 - w12)
-    q_re = 0.5 * (w11 - w22)
-    q_im = -0.5 * (w21 + w12)
+    if block_diag:
+        b1 = k64 + kt_re64
+        b2 = k64 - kt_re64
+        if w_warm is None:
+            winv = jax.vmap(psd_inverse)(jnp.stack([b1, b2]))
+            w11, w22 = winv[0], winv[1]
+        else:
+            # unrolled: the warm path's lax.cond under vmap would batch into
+            # a select that executes BOTH branches (see storage.fit_gp_states)
+            w11 = psd_inverse_warm(b1, w_warm[0])
+            w22 = psd_inverse_warm(b2, w_warm[1])
+        p_re = 0.5 * (w11 + w22)
+        q_re = 0.5 * (w11 - w22)
+        p_im = jnp.zeros_like(p_re)
+        q_im = jnp.zeros_like(q_re)
+    else:
+        m = jnp.block([[k64 + kt_re64, kt_im64], [kt_im64, k64 - kt_re64]])
+        w = psd_inverse(m) if w_warm is None else psd_inverse_warm(m, w_warm)
+        w11, w12 = w[:n, :n], w[:n, n:]
+        w21, w22 = w[n:, :n], w[n:, n:]
+        p_re = 0.5 * (w11 + w22)
+        p_im = 0.5 * (w21 - w12)
+        q_re = 0.5 * (w11 - w22)
+        q_im = -0.5 * (w21 + w12)
     # enforce the exact symmetries (P Hermitian, Q complex symmetric)
     p_re = 0.5 * (p_re + p_re.T)
     p_im = 0.5 * (p_im - p_im.T)

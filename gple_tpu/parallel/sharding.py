@@ -100,15 +100,20 @@ def gps_sharding(mesh: Mesh):
     return GPStates(diag=diag, offdiag=off, active=sh())
 
 
-def make_step_fn(model: str, mass: float, dt: float):
+def make_step_fn(model: str, mass: float, dt: float, block_diag: bool = True):
     """The flagship fit+evolve step: evolve all points one tick with the
     current GP surrogate, then refactorize the GPs from the moved points
-    (the per-tick work of reference main.cpp:135-202)."""
+    (the per-tick work of reference main.cpp:135-202).
+
+    ``block_diag=True`` is the production structure: the driver's moment
+    optimizer keeps the complex kernel's Re-Im correlation at 0, which
+    splits the augmented solve into two (N, N) blocks (CK.fit_complex).
+    Pass False to benchmark the full corr != 0 (ladder-mode) solve."""
 
     def step(density: Density, gps: GPStates):
         new_density = evolve_step(model, mass, dt, density, gp_dist_all, gps)
         new_gps = fit_gp_states(gps.diag.params, gps.offdiag.params, new_density,
-                                prev=gps)
+                                prev=gps, block_diag=block_diag)
         return new_density, new_gps
 
     return step

@@ -125,6 +125,7 @@ def fit_gp_states(
     density: Density,
     prev: "GPStates" = None,
     off_extra=None,
+    block_diag: bool = False,
 ) -> GPStates:
     """Refactorize all element GPs from the current points (the reference
     rebuilds TrainingKernels every tick, main.cpp:176).
@@ -140,7 +141,12 @@ def fit_gp_states(
     measured accuracy bottleneck (carried-label RMSE 0.0514 at N = 64 vs
     0.0073 for the diagonals, docs/DESIGN.md decomposition) while the
     diagonal fits are essentially exact at any N.  K is static, so the jitted
-    shapes stay fixed."""
+    shapes stay fixed.
+
+    ``block_diag`` (STATIC): the caller guarantees the off-diagonal corr
+    parameter is structurally 0 (the moment optimizer's invariant), so the
+    complex fit's SPD embedding splits into two (N, N) blocks -- 4x fewer
+    matmul flops on the fit's dominant term (see CK.fit_complex)."""
     diag_idx = jnp.asarray(DIAG_INDICES)
     off_pts = density.points[OFFDIAG_INDEX]
     off_rho = density.rho[OFFDIAG_INDEX]
@@ -151,7 +157,8 @@ def fit_gp_states(
         diag = jax.vmap(RK.fit_real)(
             diag_params, density.points[diag_idx], density.rho[diag_idx, :, 0]
         )
-        off = CK.fit_complex(offdiag_params, off_pts, off_rho)
+        off = CK.fit_complex(offdiag_params, off_pts, off_rho,
+                             block_diag=block_diag)
     else:
         # UNROLLED over the two diagonal elements: under vmap the warm
         # path's lax.cond batches into a select that executes BOTH branches,
@@ -164,9 +171,11 @@ def fit_gp_states(
                 kinv_warm=prev.diag.kinv[d],
             ))
         diag = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        w_warm = (prev.offdiag.diag_blocks() if block_diag
+                  else prev.offdiag.augmented_inverse())
         off = CK.fit_complex(
             offdiag_params, off_pts, off_rho,
-            w_warm=prev.offdiag.augmented_inverse(),
+            w_warm=w_warm, block_diag=block_diag,
         )
     return GPStates(diag=diag, offdiag=off, active=density.active)
 

@@ -1,5 +1,7 @@
 """Checkpoint/resume round-trip (new capability; the reference cannot resume)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -92,3 +94,38 @@ def test_run_with_checkpointing(tmp_path):
     drv2 = GPLEDriver(cfg)
     hist = drv2.run(max_ticks=6, resume_from=path)
     assert len(hist) >= 1
+
+
+def test_init_cache_equivalence(tmp_path, monkeypatch):
+    """A run that restores its cached initialization state must be bitwise
+    identical to the cold run that wrote it (GPLEConfig.init_cache): the
+    cache stores the post-init RNG key, seed cloud, tuned MC parameters, and
+    first fit, so the downstream trajectory consumes the same stream."""
+    import numpy as np
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    cfg = GPLEConfig(
+        model="SAC", mass=2000.0, x0=-2.0, p0=20.0, sigma_p0=1.0,
+        output_time=2.0, reopt_time=2.0, dt=1.0, num_points=16,
+        init_cache=True,
+    )
+    drv_cold = GPLEDriver(cfg)
+    hist_cold = drv_cold.run(max_ticks=8)
+    assert os.path.exists(drv_cold._init_cache_path())
+    drv_warm = GPLEDriver(cfg)
+    hist_warm = drv_warm.run(max_ticks=8)
+    assert len(hist_cold) == len(hist_warm)
+    for a, b in zip(hist_cold, hist_warm):
+        assert a.time == b.time
+        np.testing.assert_array_equal(a.population_mci, b.population_mci)
+        assert a.purity_mci == b.purity_mci
+    np.testing.assert_array_equal(np.asarray(drv_cold.density.points),
+                                  np.asarray(drv_warm.density.points))
+
+
+def test_init_cache_key_tracks_config(tmp_path, monkeypatch):
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    cfg_a = GPLEConfig(model="SAC", num_points=16, init_cache=True)
+    cfg_b = GPLEConfig(model="SAC", num_points=16, seed=1, init_cache=True)
+    assert (GPLEDriver(cfg_a)._init_cache_path()
+            != GPLEDriver(cfg_b)._init_cache_path())

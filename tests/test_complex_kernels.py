@@ -188,3 +188,47 @@ def test_chirped_fit_beats_static_on_fringe_field():
     err_chirp = float(jnp.sqrt(jnp.mean(jnp.sum((m_chirp - yt) ** 2, -1)))) / scale
     assert err_chirp < 0.2 * err_plain
     assert err_chirp < 0.02
+
+
+def test_block_diag_fit_matches_full_at_corr_zero():
+    """The block-diagonal fit (the moment-mode production structure,
+    corr = 0) must reproduce the full augmented solve: same P/Q blocks,
+    same v, same predictions, same purity -- it is an exact algebraic
+    specialization, not an approximation."""
+    x, y = make_dataset(24)
+    p = default_params()._replace(corr=jnp.asarray(0.0))
+    st_full = CK.fit_complex(p, x, to_ri(y))
+    st_bd = CK.fit_complex(p, x, to_ri(y), block_diag=True)
+    np.testing.assert_allclose(np.asarray(st_bd.p_re), np.asarray(st_full.p_re),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_bd.q_re), np.asarray(st_full.q_re),
+                               rtol=1e-9, atol=1e-12)
+    # corr = 0 makes the imaginary blocks exactly zero in BOTH paths
+    np.testing.assert_allclose(np.asarray(st_full.p_im), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_bd.p_im), 0.0, atol=0.0)
+    np.testing.assert_allclose(np.asarray(st_bd.v), np.asarray(st_full.v),
+                               rtol=1e-9, atol=1e-12)
+    xt = jnp.asarray(np.random.default_rng(1).normal(size=(16, 2)))
+    m_full, v_full, c_full = CK.predict_complex(st_full, xt)
+    m_bd, v_bd, c_bd = CK.predict_complex(st_bd, xt)
+    np.testing.assert_allclose(np.asarray(m_bd), np.asarray(m_full),
+                               rtol=1e-8, atol=1e-12)
+    # the variance is a cancellation of O(1) terms down to O(1e-4), so the
+    # 1e-9 block differences amplify relatively
+    np.testing.assert_allclose(np.asarray(v_bd), np.asarray(v_full),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(float(CK.purity_complex(st_bd)),
+                               float(CK.purity_complex(st_full)), rtol=1e-9)
+
+
+def test_block_diag_warm_start_roundtrip():
+    """diag_blocks() warm starts reproduce the cold block-diagonal fit."""
+    x, y = make_dataset(24)
+    p = default_params()._replace(corr=jnp.asarray(0.0))
+    st_cold = CK.fit_complex(p, x, to_ri(y), block_diag=True)
+    st_warm = CK.fit_complex(p, x, to_ri(y), block_diag=True,
+                             w_warm=st_cold.diag_blocks())
+    np.testing.assert_allclose(np.asarray(st_warm.v), np.asarray(st_cold.v),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_warm.p_re),
+                               np.asarray(st_cold.p_re), rtol=1e-8, atol=1e-12)
