@@ -145,6 +145,22 @@ class GPLEConfig:
     #: boundary-chunked path (the in-graph fused reopt does not implement
     #: the rescale).
     coh_boost_rescale: bool = False
+    #: Coherence fit-health backoff: when, at a reoptimization, the fitted
+    #: GP's analytic purity integral exceeds this multiple of the purity
+    #: target, the coherence lengthscale divisor is STICKILY halved (floor
+    #: 2.0 = the smooth round-2 behavior) and the reopt re-runs.  Mechanism:
+    #: the coherence fringes sharpen with time (k ~ t dp/hbar, DESIGN.md
+    #: reading 4), so any fixed short lengthscale eventually goes
+    #: near-interpolating on unresolvable structure -- the labels stay
+    #: bounded (coh_boost_rescale clamps them) but alpha and the purity
+    #: QUADRATIC explode (measured: purity_prm 1.01 -> 6.7 post-crossing at
+    #: div 6 while the MC purity stayed clamped, benchmarks/r04/
+    #: boost_n256_div6_conserve_divergence.log).  The backoff keeps the div-6
+    #: resolution through the crossing window (where its 6x accuracy gain
+    #: lives) and degrades gracefully after, the same escalation shape as
+    #: the reference's check_averages restart ladder (opt.cpp:1200-1392).
+    #: 0 disables the check.
+    coh_fit_health_factor: float = 2.0
     #: Conservation-preserving relabel: after a cloud re-selection walks and
     #: relabels an element's points, rescale the new labels by one scalar so
     #: the element's MC-integral estimator is CONTINUOUS across the event

@@ -570,6 +570,10 @@ class GPLEDriver:
         )
         #: static coherence-boost size (see GPLEConfig.coh_fit_extra)
         self._coh_k = min(int(cfg.coh_fit_extra), cfg.num_extra_points)
+        #: EFFECTIVE coherence lengthscale divisor: starts at the configured
+        #: value, stickily halved by the fit-health backoff
+        #: (GPLEConfig.coh_fit_health_factor)
+        self._coh_div_eff = float(cfg.coh_len_div)
 
     def _init_cache_path(self) -> str:
         """Path of the cached initialization state (GPLEConfig.init_cache),
@@ -772,7 +776,7 @@ class GPLEDriver:
         density, extra, gps, smalls, pop, pur, mc_pur = _ticks_scan(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, self.gps,
             diag_params, off_params, n_ticks, evolve_dist, self._track_moments,
-            self._coh_k, float(cfg.coh_len_div), self._block_diag(),
+            self._coh_k, self._coh_div_eff, self._block_diag(),
         )
         # one host pull for every chunk-boundary scalar (each float()/asarray
         # is its own tunnel round-trip on the accelerator)
@@ -839,6 +843,7 @@ class GPLEDriver:
         t1 = _time.perf_counter()
         energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
         self.optimizer.purity = target_purity
+        self.optimizer.off_len_div = self._coh_div_eff
         self.opt_result = self.optimizer.optimize(density, self.extra, energies)
         t2 = _time.perf_counter()
         diag_params, off_params = self.optimizer.fitted_params()
@@ -854,6 +859,32 @@ class GPLEDriver:
             density, self.extra, diag_params, off_params, keys,
             self._block_diag(),
         )
+        # coherence fit-health backoff (GPLEConfig.coh_fit_health_factor):
+        # a purity INTEGRAL detached from the purity target means the short-
+        # length fit went near-interpolating on unresolvable fringes --
+        # stickily lengthen and refit (escalation shape of the reference's
+        # check_averages ladder, opt.cpp:1200-1392)
+        hf = float(cfg.coh_fit_health_factor)
+        while (hf > 0.0 and active[OFFDIAG_INDEX]
+               and self._coh_div_eff > 2.0
+               and float(pur) > hf * max(float(target_purity), 1e-30)):
+            self._coh_div_eff = max(2.0, self._coh_div_eff / 2.0)
+            self.optimizer.off_len_div = self._coh_div_eff
+            self.stats["coh_len_backoffs"] = (
+                self.stats.get("coh_len_backoffs", 0) + 1
+            )
+            self._log(f"coherence fit unhealthy (purity {float(pur):.3f} vs "
+                      f"target {target_purity:.3f}): len_div -> "
+                      f"{self._coh_div_eff}")
+            self.opt_result = self.optimizer.optimize(
+                density, self.extra, energies
+            )
+            diag_params, off_params = self.optimizer.fitted_params()
+            self.gps, self.extra, pop, pur = _reopt_epilogue(
+                bool(cfg.evolve_cutoff), self._coh_k, cfg.num_extra_points,
+                density, self.extra, diag_params, off_params, keys,
+                self._block_diag(),
+            )
         self._fit_ref = {
             "pop": float(pop), "pur": float(pur),
             "target": max(float(target_purity), 1e-30),
@@ -877,7 +908,7 @@ class GPLEDriver:
         density, extra, small, new_gps, pop, pur, mc_pur = _tick_fused(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, gps,
             diag_params, off_params, evolve_dist, self._track_moments,
-            self._coh_k, float(cfg.coh_len_div), self._block_diag(),
+            self._coh_k, self._coh_div_eff, self._block_diag(),
         )
         small, pop, pur, mc_pur = jax.device_get((small, pop, pur, mc_pur))
         self.phase_times["evolve"] += _time.perf_counter() - t0
@@ -929,10 +960,10 @@ class GPLEDriver:
         coherence data is refit at the smooth default div-2 lengthscale
         (scaling the live fit's lengths back by coh_len_div/2) purely for
         the relabel queries."""
-        if float(self.cfg.coh_len_div) <= 2.0:
+        if self._coh_div_eff <= 2.0:
             return self.gps
         live = self.gps.offdiag.params
-        scale = float(self.cfg.coh_len_div) / 2.0
+        scale = self._coh_div_eff / 2.0
         safe = live._replace(
             real_lengths=live.real_lengths * scale,
             imag_lengths=live.imag_lengths * scale,
@@ -1189,7 +1220,7 @@ class GPLEDriver:
         carry, stacks = _ticks_scan_fused(
             cfg.model, cfg.mass, cfg.dt, n_periods, rf,
             bool(cfg.evolve_cutoff), self._track_moments, self._coh_k,
-            cfg.num_extra_points, float(cfg.coh_len_div),
+            cfg.num_extra_points, self._coh_div_eff,
             cfg.purity_target == "measured",
             self.density, self.extra, self.gps, diag_params, off_params,
             jnp.asarray(check_mask.reshape(n_periods, rf)), keys_seq,

@@ -48,6 +48,9 @@ def save_checkpoint(path: str, driver, tick: int) -> None:
                 is not None else np.zeros((0,))),
         opt_error=float(getattr(driver.opt_result, "error", 0.0)),
         opt_type=str(getattr(driver.opt_result, "opt_type", "resumed")),
+        # sticky coherence lengthscale divisor (fit-health backoff state)
+        coh_div_eff=float(getattr(driver, "_coh_div_eff",
+                                  driver.cfg.coh_len_div)),
     )
 
 
@@ -94,6 +97,9 @@ def load_checkpoint(path: str, driver) -> int:
         ]
         if "al_lam" in z and z["al_lam"].size:
             driver.optimizer._al_lam = np.asarray(z["al_lam"])
+        if "coh_div_eff" in z:
+            driver._coh_div_eff = float(z["coh_div_eff"])
+            driver.optimizer.off_len_div = driver._coh_div_eff
         tick = int(z["tick"])
         opt_error = float(z["opt_error"]) if "opt_error" in z else 0.0
         opt_type = str(z["opt_type"]) if "opt_type" in z else "resumed"
