@@ -159,8 +159,13 @@ class GPLEConfig:
     #: resolution through the crossing window (where its 6x accuracy gain
     #: lives) and degrades gracefully after, the same escalation shape as
     #: the reference's check_averages restart ladder (opt.cpp:1200-1392).
+    #: If the fit is STILL detached at the div-2 floor, the carried booster
+    #: is ejected outright (coh_k -> 0): the run returns to the stable
+    #: main-cloud-only fit (measured in benchmarks/r04/
+    #: boost_n256_div6_backoff_divergence.log: at div 2 with the booster
+    #: still in the fit the purity integral kept running away, 2.3 -> 3.4).
     #: 0 disables the check.
-    coh_fit_health_factor: float = 2.0
+    coh_fit_health_factor: float = 1.5
     #: Conservation-preserving relabel: after a cloud re-selection walks and
     #: relabels an element's points, rescale the new labels by one scalar so
     #: the element's MC-integral estimator is CONTINUOUS across the event

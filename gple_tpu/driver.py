@@ -866,16 +866,31 @@ class GPLEDriver:
         # check_averages ladder, opt.cpp:1200-1392)
         hf = float(cfg.coh_fit_health_factor)
         while (hf > 0.0 and active[OFFDIAG_INDEX]
-               and self._coh_div_eff > 2.0
+               and (self._coh_div_eff > 2.0 or self._coh_k > 0)
                and float(pur) > hf * max(float(target_purity), 1e-30)):
-            self._coh_div_eff = max(2.0, self._coh_div_eff / 2.0)
-            self.optimizer.off_len_div = self._coh_div_eff
-            self.stats["coh_len_backoffs"] = (
-                self.stats.get("coh_len_backoffs", 0) + 1
-            )
-            self._log(f"coherence fit unhealthy (purity {float(pur):.3f} vs "
-                      f"target {target_purity:.3f}): len_div -> "
-                      f"{self._coh_div_eff}")
+            if self._coh_div_eff > 2.0:
+                self._coh_div_eff = max(2.0, self._coh_div_eff / 2.0)
+                self.optimizer.off_len_div = self._coh_div_eff
+                self.stats["coh_len_backoffs"] = (
+                    self.stats.get("coh_len_backoffs", 0) + 1
+                )
+                self._log(f"coherence fit unhealthy (purity {float(pur):.3f} "
+                          f"vs target {target_purity:.3f}): len_div -> "
+                          f"{self._coh_div_eff}")
+            else:
+                # still detached at the div-2 floor: EJECT the carried
+                # booster and return to the proven-stable main-cloud-only
+                # fit (the round-3 head configuration).  The booster's
+                # accuracy value lives in the crossing window; past it the
+                # fringes outrun any pointwise cloud (DESIGN.md reading 4)
+                # and the carried-label feedback only destabilizes.
+                self._coh_k = 0
+                self.optimizer.coh_fit_extra = 0
+                self.stats["coh_boost_ejected"] = (
+                    self.stats.get("coh_boost_ejected", 0) + 1
+                )
+                self._log(f"coherence fit unhealthy at div-2 floor (purity "
+                          f"{float(pur):.3f}): booster EJECTED")
             self.opt_result = self.optimizer.optimize(
                 density, self.extra, energies
             )

@@ -51,6 +51,8 @@ def save_checkpoint(path: str, driver, tick: int) -> None:
         # sticky coherence lengthscale divisor (fit-health backoff state)
         coh_div_eff=float(getattr(driver, "_coh_div_eff",
                                   driver.cfg.coh_len_div)),
+        # live booster size (0 after a fit-health ejection)
+        coh_k=int(getattr(driver, "_coh_k", 0)),
     )
 
 
@@ -100,6 +102,9 @@ def load_checkpoint(path: str, driver) -> int:
         if "coh_div_eff" in z:
             driver._coh_div_eff = float(z["coh_div_eff"])
             driver.optimizer.off_len_div = driver._coh_div_eff
+        if "coh_k" in z:
+            driver._coh_k = int(z["coh_k"])
+            driver.optimizer.coh_fit_extra = driver._coh_k
         tick = int(z["tick"])
         opt_error = float(z["opt_error"]) if "opt_error" in z else 0.0
         opt_type = str(z["opt_type"]) if "opt_type" in z else "resumed"

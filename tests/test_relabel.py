@@ -184,14 +184,18 @@ def test_masked_diagonal_relabel(crossing_driver, monkeypatch):
 
 def test_coh_fit_health_backoff_wiring(crossing_driver):
     """A purity integral above the health factor times the target must
-    stickily halve the effective coherence lengthscale divisor (floor 2)
-    and re-run the reopt (GPLEConfig.coh_fit_health_factor)."""
+    stickily halve the effective coherence lengthscale divisor (floor 2),
+    then EJECT the booster if still detached (coh_fit_health_factor)."""
     drv = crossing_driver
     assert drv._coh_div_eff == 6.0
-    # a tiny health factor makes ANY healthy fit "unhealthy": the backoff
-    # must walk 6 -> 3 -> 2 and stop at the floor
+    assert drv._coh_k > 0
+    # a tiny health factor makes ANY fit "unhealthy": the escalation must
+    # walk 6 -> 3 -> 2, then eject the booster, then stop (nothing left)
     object.__setattr__(drv.cfg, "coh_fit_health_factor", 1e-9)
     drv._reoptimize(target_purity=1.0)
     assert drv._coh_div_eff == 2.0
     assert drv.stats.get("coh_len_backoffs", 0) == 2
     assert drv.optimizer.off_len_div == 2.0
+    assert drv._coh_k == 0
+    assert drv.optimizer.coh_fit_extra == 0
+    assert drv.stats.get("coh_boost_ejected", 0) == 1
