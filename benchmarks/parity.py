@@ -55,6 +55,9 @@ def main():
                     choices=[0, 1], help="GPLEConfig.relabel_conserve")
     ap.add_argument("--relabel-mask-coh", type=int, default=None,
                     choices=[0, 1], help="GPLEConfig.relabel_mask_coh")
+    ap.add_argument("--coh-reselect", type=int, default=None, choices=[0, 1],
+                    help="GPLEConfig.coh_reselect (0 freezes the boosted "
+                    "coherence cloud out of drift re-selection)")
     opts = ap.parse_args()
 
     import jax
@@ -92,6 +95,8 @@ def main():
            if opts.relabel_conserve is not None else {}),
         **({"relabel_mask_coh": bool(opts.relabel_mask_coh)}
            if opts.relabel_mask_coh is not None else {}),
+        **({"coh_reselect": bool(opts.coh_reselect)}
+           if opts.coh_reselect is not None else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(

@@ -194,6 +194,21 @@ class GPLEConfig:
     #: transferred population; masking drops only the one-tick coherence
     #: correction from the relabel query.
     relabel_mask_coh: bool = False
+    #: Drift re-selection of the COHERENCE cloud itself.  False freezes the
+    #: off-diagonal element out of driver._track_clouds while the carried
+    #: booster is alive: its points already follow the mean-surface
+    #: characteristics through the coupling window and its labels are
+    #: carried, so a mid-crossing Metropolis re-walk only re-labels a
+    #: resolved fringe field through a GP query -- the decompose harness
+    #: (benchmarks/decompose.py --gp off --labels carried, n=256/div 6,
+    #: RMSE 0.0130 over the full transfer window) runs exactly this
+    #: no-reselection structure and is stable where production diverges
+    #: (benchmarks/r04/boost_n256_div6_eject.json: purity jump at the first
+    #: (1,0) reselection, t=310).  Diagonal re-selections are unaffected --
+    #: they are what tracking is actually for (the transferred mass's
+    #: momentum jump has no trajectory counterpart).  Ignored (reselection
+    #: stays on) when coh_fit_extra == 0.
+    coh_reselect: bool = True
     #: Fused-segment length: advance this many ticks -- including the
     #: scheduled closed-form (moment) reoptimizations and the per-frame
     #: observables -- in ONE jitted scan dispatch, syncing with the host once

@@ -574,6 +574,9 @@ class GPLEDriver:
         #: value, stickily halved by the fit-health backoff
         #: (GPLEConfig.coh_fit_health_factor)
         self._coh_div_eff = float(cfg.coh_len_div)
+        #: event ticks observed this run (persisted as fusion hints when the
+        #: init cache is on; see _event_hints_path)
+        self._event_ticks = set()
 
     def _init_cache_path(self) -> str:
         """Path of the cached initialization state (GPLEConfig.init_cache),
@@ -594,6 +597,20 @@ class GPLEDriver:
         )
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"init_{key}.npz")
+
+    def _event_hints_path(self) -> str:
+        """Sidecar of :meth:`_init_cache_path` recording the EVENT ticks
+        (element activations, drift reopts, reselections) observed on a
+        previous run of this exact config.  Runs are deterministic given the
+        config (the init cache's own contract), so a recorded event tick
+        predicts this run's events exactly: the fused path pre-blocks around
+        them instead of paying a full-segment abort (measured 118-196 s of
+        ``fused_abort`` waste per round-3 run)."""
+        import os
+
+        d, base = os.path.split(self._init_cache_path())
+        return os.path.join(
+            d, base.replace("init_", "events_").replace(".npz", ".json"))
 
     def _block_diag(self) -> bool:
         """True when the complex fit may run block-diagonal (corr = 0): the
@@ -932,6 +949,7 @@ class GPLEDriver:
         opt_type = "none"
         changed = bool(np.any(new_active != old_active))
         if changed:
+            self._event_ticks.add(tick)
             self.stats["element_activations"] += int(np.sum(new_active & ~old_active))
             t_seed = _time.perf_counter()
             density, extra = self._element_change(density, extra, old_active, new_active)
@@ -955,6 +973,7 @@ class GPLEDriver:
             if self._drift_detected(float(pop), float(pur), target_purity):
                 needs_opt = True
                 opt_type = "drift"
+                self._event_ticks.add(tick)
         if needs_opt:
             self.density, self.extra = density, extra
             reopt_type = self._reoptimize(target_purity)
@@ -1066,7 +1085,12 @@ class GPLEDriver:
         mc.cpp:407-537, applied on drift rather than only on activation)."""
         if not self.cfg.track_clouds:
             return density
-        flags = np.asarray(_cloud_drift_flags(density))
+        flags = np.array(_cloud_drift_flags(density))
+        if self._coh_k > 0 and not self.cfg.coh_reselect:
+            # carried booster alive: the coherence cloud follows its own
+            # characteristics and keeps its carried labels -- never re-walk
+            # it through a GP relabel query (GPLEConfig.coh_reselect)
+            flags[OFFDIAG_INDEX] = False
         if not flags.any():
             return density
         pts = np.array(density.points)   # mutable copies
@@ -1484,6 +1508,22 @@ class GPLEDriver:
         # costs ~10 min over the remote-TPU tunnel.
         seg_len = n_fused
         clean_streak = 0
+        # event hints from a previous run of this exact config (deterministic
+        # under the init cache): pre-block fusion around recorded event ticks
+        # instead of paying full-segment aborts (see _event_hints_path)
+        hints_path = None
+        event_hints = set()
+        if cfg.init_cache and not resume_from:
+            import json as _json
+            import os as _os
+
+            hints_path = self._event_hints_path()
+            if _os.path.exists(hints_path):
+                try:
+                    event_hints = set(_json.load(open(hints_path)))
+                    self._log(f"fusion event hints: {sorted(event_hints)}")
+                except Exception:
+                    event_hints = set()
         try:
             tick = start_tick
             fused_block_until = 0  # replay the chunked path through an event
@@ -1491,18 +1531,27 @@ class GPLEDriver:
                 if (use_fused and tick > fused_block_until
                         and (tick - 1) % cfg.reopt_freq == 0
                         and tick + seg_len - 1 <= total):
-                    ok, res = self._advance_fused(tick, seg_len, callback)
-                    if ok:
-                        tick += seg_len
-                        clean_streak += 1
-                        if clean_streak >= 2:
-                            seg_len = n_fused
-                        if res:  # stop condition hit inside the segment
-                            break
-                        continue
-                    fused_block_until = res
-                    seg_len = cfg.reopt_freq
-                    clean_streak = 0
+                    hinted = [h for h in event_hints
+                              if tick <= h < tick + seg_len]
+                    if hinted:
+                        # a recorded event falls inside this would-be
+                        # segment: replay the chunked path through it (no
+                        # dispatch wasted, hysteresis untouched)
+                        fused_block_until = min(hinted)
+                    else:
+                        ok, res = self._advance_fused(tick, seg_len, callback)
+                        if ok:
+                            tick += seg_len
+                            clean_streak += 1
+                            if clean_streak >= 2:
+                                seg_len = n_fused
+                            if res:  # stop condition hit inside the segment
+                                break
+                            continue
+                        fused_block_until = res
+                        self._event_ticks.add(res)
+                        seg_len = cfg.reopt_freq
+                        clean_streak = 0
                 # the next tick where the host must intervene: scheduled
                 # reopt, output, or checkpoint; everything before it is pure
                 # device work and runs as one scanned chunk
@@ -1546,6 +1595,15 @@ class GPLEDriver:
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()
+            if hints_path and self._event_ticks:
+                import json as _json
+
+                try:
+                    with open(hints_path, "w") as fh:
+                        _json.dump(sorted({int(t) for t in
+                                           event_hints | self._event_ticks}), fh)
+                except OSError:
+                    pass
         self._log(f"phase wall times: {self.phase_times}")
         if self.writers:
             self.writers.close()

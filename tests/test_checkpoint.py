@@ -129,3 +129,31 @@ def test_init_cache_key_tracks_config(tmp_path, monkeypatch):
     cfg_b = GPLEConfig(model="SAC", num_points=16, seed=1, init_cache=True)
     assert (GPLEDriver(cfg_a)._init_cache_path()
             != GPLEDriver(cfg_b)._init_cache_path())
+
+
+def test_event_hints_recorded(tmp_path, monkeypatch):
+    """With init_cache on, observed event ticks (element activations, drift
+    reopts) persist to the hints sidecar; a repeat run pre-blocks fusion
+    around them instead of paying full-segment aborts."""
+    import json
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    cfg = GPLEConfig(
+        model="SAC", mass=2000.0, x0=-2.0, p0=20.0, sigma_p0=1.0,
+        output_time=5.0, reopt_time=5.0, dt=1.0, num_points=16,
+        init_cache=True,
+    )
+    drv = GPLEDriver(cfg)
+    drv.run(max_ticks=60)  # crosses the coupling edge: activations fire
+    assert drv.stats["element_activations"] > 0
+    hints = drv._event_hints_path()
+    assert os.path.exists(hints)
+    ticks = json.load(open(hints))
+    assert ticks and all(isinstance(t, int) for t in ticks)
+    # the repeat run must reproduce the same trajectory with hints active
+    drv2 = GPLEDriver(cfg)
+    hist2 = drv2.run(max_ticks=60)
+    assert len(hist2) == len(drv.history)
+    np.testing.assert_array_equal(
+        np.asarray(drv.density.points), np.asarray(drv2.density.points)
+    )

@@ -199,3 +199,35 @@ def test_coh_fit_health_backoff_wiring(crossing_driver):
     assert drv._coh_k == 0
     assert drv.optimizer.coh_fit_extra == 0
     assert drv.stats.get("coh_boost_ejected", 0) == 1
+
+
+def test_coh_reselect_off_freezes_coherence_cloud(crossing_driver,
+                                                  monkeypatch):
+    """coh_reselect=False with a live booster: a forced all-element drift
+    event re-walks the diagonals but must leave the coherence cloud (main +
+    booster slots) bitwise untouched -- its points follow their own
+    characteristics and its labels are carried (the decompose harness's
+    stable no-reselection structure, docs/DESIGN.md round-3 reading)."""
+    drv = crossing_driver
+    object.__setattr__(drv.cfg, "coh_reselect", False)
+    pre_pts = np.asarray(drv.density.points[OFFDIAG_INDEX]).copy()
+    pre_rho = np.asarray(drv.density.rho[OFFDIAG_INDEX]).copy()
+    pre_extra = np.asarray(drv.extra.rho[OFFDIAG_INDEX]).copy()
+    _force_reselect(monkeypatch, [True, True, True])
+    new_density = drv._track_clouds(drv.density)
+    np.testing.assert_array_equal(
+        np.asarray(new_density.points[OFFDIAG_INDEX]), pre_pts)
+    np.testing.assert_array_equal(
+        np.asarray(new_density.rho[OFFDIAG_INDEX]), pre_rho)
+    np.testing.assert_array_equal(
+        np.asarray(drv.extra.rho[OFFDIAG_INDEX]), pre_extra)
+    # the diagonals DID move (reselected or conservatively rejected, but at
+    # least one diagonal relabel event was processed)
+    assert (drv.stats.get("relabel_rescales", 0)
+            + drv.stats.get("relabel_rejects", 0)) >= 1
+    # with the booster ejected the knob must stop applying: the coherence
+    # re-walks like any element again
+    drv._coh_k = 0
+    drv.key = drv.key  # keep rng stream; just exercising the gate
+    d2 = drv._track_clouds(new_density)
+    assert (np.asarray(d2.points[OFFDIAG_INDEX]) != pre_pts).any()
