@@ -24,7 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in flags:
+    # 8 virtual-device threads timesliced on a small host spread their
+    # arrivals at a collective rendezvous by the whole shard-compute time;
+    # XLA:CPU's default 40 s termination killed the N=2048 run on a 1-core
+    # worker (rendezvous.cc check-fail, 2026-08-20).  These only stretch the
+    # stuck-detection watchdog -- they do not change the measured timings.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3000")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -1015,8 +1015,12 @@ class GPLEDriver:
     #: relabel-continuity factors outside this band mean the relabel query
     #: itself is corrupt -- reject the re-selection instead of scaling
     RELABEL_SCALE_BAND = (0.2, 5.0)
+    #: an element whose own integral is below this fraction of the total
+    #: diagonal population numerator is NASCENT: relabels accept the
+    #: predictor's fresh scale unscaled (see _relabel_scale)
+    RELABEL_NASCENT_FRAC = 0.05
 
-    def _relabel_scale(self, k: int, rho_old, rho_new):
+    def _relabel_scale(self, k: int, rho_old, rho_new, nascent_ref=None):
         """Continuity factor for a re-selected element's fresh labels, or
         None when the relabel should be rejected outright.
 
@@ -1027,18 +1031,40 @@ class GPLEDriver:
         trajectory-ensemble invariants whose scale a fresh Metropolis sample
         does not reproduce.  See GPLEConfig.relabel_conserve; the reference
         enforces the same continuity by constraint-pinned reoptimization
-        after its mid-run seeding (opt.cpp:644-719 via main.cpp:145-163)."""
+        after its mid-run seeding (opt.cpp:644-719 via main.cpp:145-163).
+
+        NASCENT elements bypass the continuity pin: when the element's own
+        integral is tiny against ``nascent_ref`` (the total diagonal
+        population numerator), the ratio is noise over noise and its true
+        field is GROWING fast (transfer onset) -- there is nothing to
+        conserve, and the backward-branching predictor's fresh scale is the
+        trustworthy one (exactly as at first activation, where seeding
+        accepts predictor labels wholesale).  Without the bypass the band
+        rejects every relabel of a growing element (measured: four straight
+        (1, 1) rejections through the SAC transfer onset starved tracking
+        and detached the diagonal fit, benchmarks/r04/
+        boost_n256_div6_freeze_tpu.json)."""
         old = np.asarray(rho_old)
         new = np.asarray(rho_new)
         if k == OFFDIAG_INDEX:
             pre = float(np.sum(old[:, 0] ** 2 + old[:, 1] ** 2))
             post = float(np.sum(new[:, 0] ** 2 + new[:, 1] ** 2))
+            if (nascent_ref is not None and np.sqrt(max(pre, 0.0))
+                    < self.RELABEL_NASCENT_FRAC * nascent_ref):
+                self.stats["relabel_nascent"] = (
+                    self.stats.get("relabel_nascent", 0) + 1)
+                return 1.0
             if post <= 0.0 or pre <= 0.0:
                 return None
             s = float(np.sqrt(pre / post))
         else:
             pre = float(np.sum(old[:, 0]))
             post = float(np.sum(new[:, 0]))
+            if (nascent_ref is not None
+                    and abs(pre) < self.RELABEL_NASCENT_FRAC * nascent_ref):
+                self.stats["relabel_nascent"] = (
+                    self.stats.get("relabel_nascent", 0) + 1)
+                return 1.0
             if post == 0.0 or pre == 0.0 or (pre > 0) != (post > 0):
                 return None  # sign flip: the relabel query is corrupt
             s = pre / post
@@ -1125,7 +1151,9 @@ class GPLEDriver:
             )
             s = 1.0
             if self.cfg.relabel_conserve:
-                s = self._relabel_scale(k, density.rho[k], r)
+                nascent_ref = sum(
+                    abs(float(np.sum(rho[d][:, 0]))) for d in DIAG_INDICES)
+                s = self._relabel_scale(k, density.rho[k], r, nascent_ref)
                 if s is None:
                     # the relabel query is corrupt: keep the element's
                     # previous points+labels (see GPLEConfig.relabel_conserve)

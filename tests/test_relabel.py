@@ -148,6 +148,33 @@ def test_relabel_scale_band_and_sign_rules():
     assert drv._relabel_scale(OFFDIAG_INDEX, old_o, np.zeros((4, 2))) is None
 
 
+def test_nascent_element_relabel_bypasses_the_band():
+    """A nascent element (integral tiny vs the total diagonal population)
+    must ACCEPT the predictor's fresh labels unscaled instead of rejecting:
+    the conservation ratio is noise over noise and its field is growing
+    (measured starvation: four straight (1, 1) rejections through the SAC
+    transfer onset, benchmarks/r04/boost_n256_div6_freeze_tpu.json)."""
+    cfg = GPLEConfig(model="SAC", num_points=8)
+    drv = GPLEDriver(cfg)
+    old_d = np.zeros((4, 2))
+    old_d[:, 0] = 1e-4     # ppl ~ 1e-4 of the system total
+    new_d = np.zeros((4, 2))
+    new_d[:, 0] = 0.02     # predictor sees the grown field: ratio 1/200
+    # without the reference scale: out of band -> rejected (legacy rule)
+    assert drv._relabel_scale(0, old_d, new_d) is None
+    # with it: nascent -> accepted unscaled
+    assert drv._relabel_scale(0, old_d, new_d, nascent_ref=1.0) == 1.0
+    assert drv.stats.get("relabel_nascent", 0) == 1
+    # a HEALTHY element (integral at system scale) keeps the band
+    old_d[:, 0] = 0.25
+    assert drv._relabel_scale(0, old_d, new_d, nascent_ref=1.0) is None
+    # nascent coherence: same bypass on the |rho|^2 share
+    old_o = np.full((4, 2), 1e-4)
+    new_o = np.full((4, 2), 0.05)
+    assert drv._relabel_scale(OFFDIAG_INDEX, old_o, new_o,
+                              nascent_ref=1.0) == 1.0
+
+
 def test_relabel_conserve_off_reproduces_legacy_jump(crossing_driver,
                                                      monkeypatch):
     """With the knob off, the relabeled integrals are whatever the predictor
