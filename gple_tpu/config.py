@@ -145,6 +145,23 @@ class GPLEConfig:
     #: boundary-chunked path (the in-graph fused reopt does not implement
     #: the rescale).
     coh_boost_rescale: bool = False
+    #: Scalar population-conservation rescale of the DIAGONAL labels at
+    #: every reoptimization: multiply both diagonals' Re labels by one factor
+    #: s = (initial total diagonal sum) / (current total diagonal sum), so
+    #: the total population numerator -- the one diagonal point-sum that IS a
+    #: trajectory-ensemble invariant (per-surface sums move with transfer;
+    #: their total cannot) -- stays pinned across the trajectory.  The
+    #: reference enforces exactly this at every reoptimization via its
+    #: population equality constraint (opt.cpp:644-719); moment mode had no
+    #: equivalent, and the div-6 booster runs showed the consequence: the
+    #: diagonal labels inflate through evolution queries against the spiky
+    #: coherence fit (GP population integral 1.018 by t=330, MC purity 1.30
+    #: by t=350 with the coherence clamp active, benchmarks/r04/
+    #: boost_n256_div6_freeze_nopoprescale.json).  Factors outside [0.5, 2]
+    #: mean the measurement itself is corrupt and are skipped.  Implemented
+    #: identically in the host reopt (_reoptimize) and the fused in-graph
+    #: reopt (_ticks_scan_fused), so it does not force the chunked path.
+    pop_rescale: bool = True
     #: Coherence fit-health backoff: when, at a reoptimization, the fitted
     #: GP's analytic purity integral exceeds this multiple of the purity
     #: target, the coherence lengthscale divisor is STICKILY halved (floor

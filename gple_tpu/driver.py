@@ -357,16 +357,16 @@ def _split_chain(key, count: int):
     return jax.lax.scan(body, key, None, length=count)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 23))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 25))
 def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
                       reopt_freq: int, use_cutoff: bool, track_moments: str,
                       coh_k: int, n_extra: int, off_len_div: float,
-                      measured_target: bool,
+                      measured_target: bool, pop_rescale: bool,
                       density: Density, extra: Density, gps: GPStates,
                       diag_params, off_params,
                       check_mask, keys,
                       fit_pop, fit_pur, fit_target,
-                      pur_scale, fixed_target,
+                      pur_scale, fixed_target, pop_sum0,
                       block_diag: bool = False):
     """A whole trajectory SEGMENT -- ``n_periods`` reoptimization periods of
     ``reopt_freq`` ticks each, scheduled moment reopts included -- in ONE
@@ -442,6 +442,19 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
         # cloud re-selection flags, evaluated where the host would (pre-reopt)
         resel = jnp.any(_cloud_drift_flags(density))
         target = outs["target"][-1]
+        if pop_rescale:
+            # population-conservation rescale of the diagonal labels, the
+            # in-graph replica of GPLEDriver._pop_conservation_rescale
+            # (GPLEConfig.pop_rescale); out-of-band factors skip
+            diag_idx = jnp.asarray(DIAG_INDICES)
+            tot = jnp.sum(density.rho[diag_idx][..., 0])
+            s = pop_sum0 / jnp.where(tot == 0.0, 1.0, tot)
+            s = jnp.where((tot > 0.0) & (s >= 0.5) & (s <= 2.0), s, 1.0)
+            density = density._replace(
+                rho=density.rho.at[diag_idx, :, 0].multiply(s))
+            if measured_target:
+                target = (jnp.sum(OBS.purity_each_element(density))
+                          * pur_scale)
         dp2, op2, err = _moment_reopt_core(coh_k, off_len_div, density, extra,
                                            dp, op, block_diag)
         gps2 = fit_gp_states(dp2, op2, density,
@@ -682,6 +695,9 @@ class GPLEDriver:
             jnp.sum(OBS.purity_each_element(density)) * purity_factor(cfg.dim)
         )
         self.purity_ratio = self.purity / initial_mc_purity
+        #: conserved total-population numerator (GPLEConfig.pop_rescale)
+        self._pop_sum0 = float(
+            jnp.sum(density.rho[jnp.asarray(DIAG_INDICES)][..., 0]))
         # extra points (main.cpp:69); set before the first _refit, which
         # reads self.extra when the coherence boost is on
         extra = self._make_extra(density, INIT_DIST_ELEMS, init_params)
@@ -839,6 +855,30 @@ class GPLEDriver:
         self.stats["coh_rescales"] = self.stats.get("coh_rescales", 0) + 1
         return s
 
+    def _pop_conservation_rescale(self) -> float:
+        """Scalar conservation rescale of the diagonal labels against the
+        run's INITIAL total population numerator; returns the factor applied
+        (1.0 = no-op / out-of-band skip).  See GPLEConfig.pop_rescale; the
+        reference pins the same invariant with its population equality
+        constraint at every reoptimization (opt.cpp:644-719)."""
+        diag_idx = jnp.asarray(DIAG_INDICES)
+        tot = float(jnp.sum(self.density.rho[diag_idx][..., 0]))
+        ref = getattr(self, "_pop_sum0", None)
+        if ref is None:  # legacy checkpoint: pin from here on
+            self._pop_sum0 = tot
+            return 1.0
+        if not np.isfinite(tot) or tot <= 0.0:
+            return 1.0
+        s = ref / tot
+        if not (0.5 <= s <= 2.0):
+            self._log(f"population rescale out of band (s={s:.3f}): skipped")
+            return 1.0
+        self.density = self.density._replace(
+            rho=self.density.rho.at[diag_idx, :, 0].multiply(s))
+        if abs(s - 1.0) > 1e-6:
+            self.stats["pop_rescales"] = self.stats.get("pop_rescales", 0) + 1
+        return s
+
     def _reoptimize(self, target_purity: float) -> str:
         import time as _time
 
@@ -846,17 +886,22 @@ class GPLEDriver:
         t0 = _time.perf_counter()
         density = self._track_clouds(self.density)
         self.density = density
+        rescaled = False
+        if cfg.pop_rescale:
+            rescaled = self._pop_conservation_rescale() != 1.0
+            density = self.density
         if cfg.coh_boost_rescale:
             s = self._coh_purity_rescale()
             density = self.density
-            if s < 1.0 and cfg.purity_target == "measured":
-                # the caller derived target_purity from the PRE-rescale MC
-                # purity; recompute from the clamped labels so the drift cap
-                # and (in ladder mode) the purity constraint pin the fit to
-                # the density that actually exists now (ADVICE r3)
-                target_purity = float(
-                    jnp.sum(OBS.purity_each_element(density))
-                ) * purity_factor(cfg.dim) * self.purity_ratio
+            rescaled |= s < 1.0
+        if rescaled and cfg.purity_target == "measured":
+            # the caller derived target_purity from the PRE-rescale MC
+            # purity; recompute from the clamped labels so the drift cap
+            # and (in ladder mode) the purity constraint pin the fit to
+            # the density that actually exists now (ADVICE r3)
+            target_purity = float(
+                jnp.sum(OBS.purity_each_element(density))
+            ) * purity_factor(cfg.dim) * self.purity_ratio
         t1 = _time.perf_counter()
         energies = OBS.total_energy_each_surface(cfg.model, density, cfg.mass)
         self.optimizer.purity = target_purity
@@ -1288,13 +1333,14 @@ class GPLEDriver:
             cfg.model, cfg.mass, cfg.dt, n_periods, rf,
             bool(cfg.evolve_cutoff), self._track_moments, self._coh_k,
             cfg.num_extra_points, self._coh_div_eff,
-            cfg.purity_target == "measured",
+            cfg.purity_target == "measured", bool(cfg.pop_rescale),
             self.density, self.extra, self.gps, diag_params, off_params,
             jnp.asarray(check_mask.reshape(n_periods, rf)), keys_seq,
             jnp.asarray(ref["pop"]), jnp.asarray(ref["pur"]),
             jnp.asarray(ref["target"]),
             jnp.asarray(purity_factor(cfg.dim) * self.purity_ratio),
             jnp.asarray(self.purity),
+            jnp.asarray(getattr(self, "_pop_sum0", 0.0)),
             self._block_diag(),
         )
         density, extra, gps, dp, op, fpop, fpur, ftgt = carry

@@ -53,6 +53,8 @@ def save_checkpoint(path: str, driver, tick: int) -> None:
                                   driver.cfg.coh_len_div)),
         # live booster size (0 after a fit-health ejection)
         coh_k=int(getattr(driver, "_coh_k", 0)),
+        # conserved total-population numerator (GPLEConfig.pop_rescale)
+        pop_sum0=float(getattr(driver, "_pop_sum0", 0.0)),
     )
 
 
@@ -105,6 +107,13 @@ def load_checkpoint(path: str, driver) -> int:
         if "coh_k" in z:
             driver._coh_k = int(z["coh_k"])
             driver.optimizer.coh_fit_extra = driver._coh_k
+        if "pop_sum0" in z and float(z["pop_sum0"]) != 0.0:
+            driver._pop_sum0 = float(z["pop_sum0"])
+        else:
+            # legacy checkpoint: pin the invariant from the restored labels
+            from gple_tpu.storage import DIAG_INDICES as _DI
+            driver._pop_sum0 = float(
+                jnp.sum(driver.density.rho[jnp.asarray(_DI)][..., 0]))
         tick = int(z["tick"])
         opt_error = float(z["opt_error"]) if "opt_error" in z else 0.0
         opt_type = str(z["opt_type"]) if "opt_type" in z else "resumed"

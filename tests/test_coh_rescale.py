@@ -93,3 +93,30 @@ def test_rescale_forces_chunked_path():
     hist = drv.run(max_ticks=6)
     assert drv.phase_times["fused"] == 0.0
     assert len(hist) > 0
+
+
+def test_pop_rescale_pins_the_total_diagonal_sum(driver):
+    """GPLEConfig.pop_rescale: inflated diagonal labels are rescaled back to
+    the run's initial total population numerator at reoptimization (the
+    reference's population equality constraint, opt.cpp:644-719, as a
+    moment-mode scalar)."""
+    from gple_tpu.storage import DIAG_INDICES
+
+    di = jnp.asarray(DIAG_INDICES)
+    ref = driver._pop_sum0
+    assert ref > 0.0
+    # inflate both diagonals by 30% (the measured div-6 failure inflated the
+    # GP population integral to ~1.02 and MC purity to 1.3 by t=350)
+    driver.density = driver.density._replace(
+        rho=driver.density.rho.at[di, :, 0].multiply(1.3))
+    s = driver._pop_conservation_rescale()
+    assert s == pytest.approx(1.0 / 1.3, rel=1e-12)
+    tot = float(jnp.sum(driver.density.rho[di][..., 0]))
+    assert tot == pytest.approx(ref, rel=1e-12)
+    assert driver.stats.get("pop_rescales", 0) == 1
+    # a corrupt measurement (factor outside [0.5, 2]) is skipped, not applied
+    driver.density = driver.density._replace(
+        rho=driver.density.rho.at[di, :, 0].multiply(3.0))
+    before = np.asarray(driver.density.rho).copy()
+    assert driver._pop_conservation_rescale() == 1.0
+    np.testing.assert_array_equal(np.asarray(driver.density.rho), before)

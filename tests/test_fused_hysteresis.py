@@ -35,6 +35,7 @@ class _ScriptedDriver(GPLEDriver):
         self.opt_result = SimpleNamespace(opt_type="moment")
         self.aborts = dict(aborts)
         self.calls = []
+        self._event_ticks = set()
 
     def _log(self, msg):
         pass
