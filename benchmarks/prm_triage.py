@@ -29,6 +29,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# probe the tunnel BEFORE jax binds the backend: the round-4 on-chip triage
+# died with "TPU backend UNAVAILABLE" on a transient tunnel drop
+# (benchmarks/r04/prm_triage_stdout.log); bench.py's retry loop absorbs those
+from bench import _tunnel_alive_with_retry  # noqa: E402
+
+if not _tunnel_alive_with_retry():
+    print(json.dumps({"error": "accelerator tunnel unreachable after retries"}))
+    sys.exit(1)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
@@ -109,7 +118,7 @@ def fit_and_integrals(device, pts, y_diag, y_off, len_div, block_diag,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
-    ap.add_argument("--out", default="benchmarks/r04/prm_triage.jsonl")
+    ap.add_argument("--out", default="benchmarks/r05/prm_triage.jsonl")
     opts = ap.parse_args()
 
     cpu = jax.local_devices(backend="cpu")[0]

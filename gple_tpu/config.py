@@ -57,8 +57,15 @@ class GPLEConfig:
     #: measured ~1-2%/tick leak that saturates Tully-A population transfer at
     #: ~1/30 of the exact value; without it the transfer tracks the exact
     #: grid-MQCLE solution.  The cutoff still guards element activation
-    #: (is_very_small) and the output grids.
-    evolve_cutoff: bool = False
+    #: (is_very_small) and the output grids.  "coh" cutoffs ONLY the
+    #: coherence's queries: the booster-stabilization channel fix -- a
+    #: near-interpolating (div >= 4) coherence fit extrapolates noise
+    #: between samples, which the diagonals read at their branch points
+    #: through the off-diagonal rotation (the isolated divergence channel,
+    #: benchmarks/boost_probe.py); the smoothstep suppresses exactly that
+    #: low-signal/high-variance region while the diagonals keep the
+    #: leak-free raw mean.
+    evolve_cutoff: "bool | str" = False
     #: Purity target of the constrained re-optimizations: "measured" pins the
     #: GP-integral purity to the CURRENT Monte-Carlo point-sum purity (a fit-
     #: fidelity constraint); "initial" pins it to the t=0 purity like the
@@ -161,7 +168,15 @@ class GPLEConfig:
     #: mean the measurement itself is corrupt and are skipped.  Implemented
     #: identically in the host reopt (_reoptimize) and the fused in-graph
     #: reopt (_ticks_scan_fused), so it does not force the chunked path.
-    pop_rescale: bool = True
+    #: DEFAULT OFF: flipped on in round 4 on unit-test evidence only, the
+    #: full-protocol measurement then showed the default-on stack WORSE at
+    #: production configs (SAC N=256 warm mci 0.098 vs the round-3 0.068,
+    #: N=1024 population drifting to 2.18 with pop_rescales firing 9-14x,
+    #: benchmarks/r04/parity_tpu_sac_n256_warm.json, parity_tpu_sac_n1024.json)
+    #: and the pinned crossing regression red (0.0602 vs <0.055,
+    #: tests/test_crossing.py).  Remains available for booster configs where
+    #: the diagonal-label inflation it clamps actually occurs.
+    pop_rescale: bool = False
     #: Coherence fit-health backoff: when, at a reoptimization, the fitted
     #: GP's analytic purity integral exceeds this multiple of the purity
     #: target, the coherence lengthscale divisor is STICKILY halved (floor
@@ -201,7 +216,16 @@ class GPLEConfig:
     #: sign flip) is REJECTED: the element keeps its previous points+labels
     #: (failure containment in the spirit of the reference's make_normal /
     #: try-catch fallbacks, opt.cpp:418-431).
-    relabel_conserve: bool = True
+    #: DEFAULT OFF: turning this on by default was the round-4 regression --
+    #: the bisect pinned the crossing-test red (RMSE 0.055 -> 0.0602) to
+    #: exactly this flip (commit 36d6b90), and the round-4 on-chip protocol
+    #: measured the default-on stack worse than round 3 at every production
+    #: config (benchmarks/r04/).  At default (no booster, coh_len_div = 2)
+    #: the relabel queries are smooth and the continuity pin only fights the
+    #: legitimate population transfer the re-selection is sampling.  Keep it
+    #: for div>=4 booster configs, whose near-interpolating relabel queries
+    #: it was built to contain.
+    relabel_conserve: bool = False
     #: During re-selection relabeling of a DIAGONAL element, mask the
     #: coherence's contribution out of the backward-branching predictor (the
     #: relabel query walks through the off-diagonal rotation, so a spiky

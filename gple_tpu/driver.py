@@ -76,6 +76,30 @@ def gp_dist_all_nocut(gps: GPStates, pts3):
     )
 
 
+def gp_dist_coh_cut(gps: GPStates, pts3):
+    """Raw-mean diagonals + variance-CUTOFF coherence: evolve_cutoff="coh".
+
+    A near-interpolating (div >= 4) coherence fit extrapolates noise between
+    its samples, and the diagonals read that noise at their 3x3 branch points
+    through the off-diagonal rotation (dynamics/evolve.py:310-318) -- the
+    isolated injection channel of the booster divergence
+    (benchmarks/boost_probe.py).  The 1-2 sigma smoothstep cutoff
+    (kernel.h:296-332) suppresses exactly the low-signal/high-variance
+    region, while the diagonals keep the leak-free raw mean."""
+    return jnp.stack(
+        [predict_element(gps, k, pts3[k], with_variance=(k == OFFDIAG_INDEX))
+         for k in range(NUM_ELEMENTS)]
+    )
+
+
+def _evolve_dist_for(mode):
+    """The evolution distribution for a GPLEConfig.evolve_cutoff setting
+    (False = raw means, True = full cutoff, "coh" = coherence-only cutoff)."""
+    if mode == "coh":
+        return gp_dist_coh_cut
+    return gp_dist_all if mode else gp_dist_all_nocut
+
+
 def _gp_dist_elem(gps: GPStates, pts, *, elem: int, cutoff: bool = True):
     return predict_element(gps, elem, pts, with_variance=cutoff)
 
@@ -107,17 +131,18 @@ def _off_extra_slice(extra: Density, k: int):
     return (extra.points[OFFDIAG_INDEX, :k], extra.rho[OFFDIAG_INDEX, :k])
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11, 12))
-def _tick_fused(model: str, mass: float, dt: float, density: Density,
-                extra: Density, gps: GPStates, diag_params, off_params,
-                evolve_dist=gp_dist_all_nocut, track_moments: str = "none",
-                coh_fit_extra: int = 0, coh_len_div: float = 2.0,
-                block_diag: bool = False):
-    """One tick's device work in ONE dispatch: evolve density + extra points,
-    the is-very-small test, the GP refactorization from the moved points, and
-    the drift-check scalars.  The per-tick host loop then costs a single
-    round-trip over the device tunnel instead of six (the reference does the
-    same work in one process, main.cpp:135-190).
+def _tick_core(model: str, mass: float, dt: float, density: Density,
+               extra: Density, gps: GPStates, diag_params, off_params,
+               evolve_dist, track_moments: str, coh_fit_extra: int,
+               coh_len_div: float, block_diag: bool):
+    """THE tick body, shared by every trajectory path (single-tick dispatch,
+    chunked scan, whole-segment fused scan): evolve density + extra points,
+    the is-very-small activation test, optional per-tick moment tracking of
+    the kernel parameters, and the GP refactorization from the moved points
+    (the reference's per-tick work, main.cpp:135-190).  One definition means
+    a physics change cannot silently diverge between the paths -- the
+    round-4 drift-trigger fix had to be hand-replicated into three
+    near-identical copies (VERDICT r4 weak #9).
 
     ``evolve_dist`` feeds the trajectory dynamics (no cutoff by default, see
     GPLEConfig.evolve_cutoff); the is-very-small activation test always uses
@@ -125,15 +150,34 @@ def _tick_fused(model: str, mass: float, dt: float, density: Density,
     new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
     new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
     small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
-    if track_moments != "none":
-        diag_params, off_params = moment_kernel_params(
+    dgp, ogp = (
+        moment_kernel_params(
             new_density, diag_params, off_params,
             off_extra=_off_extra_slice(new_extra, coh_fit_extra),
             off_len_div=coh_len_div, track_diag=(track_moments == "all"),
         )
-    new_gps = fit_gp_states(diag_params, off_params, new_density, prev=gps,
+        if track_moments != "none" else (diag_params, off_params)
+    )
+    new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps,
                             off_extra=_off_extra_slice(new_extra, coh_fit_extra),
                             block_diag=block_diag)
+    return new_density, new_extra, small, new_gps
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11, 12))
+def _tick_fused(model: str, mass: float, dt: float, density: Density,
+                extra: Density, gps: GPStates, diag_params, off_params,
+                evolve_dist=gp_dist_all_nocut, track_moments: str = "none",
+                coh_fit_extra: int = 0, coh_len_div: float = 2.0,
+                block_diag: bool = False):
+    """One tick's device work in ONE dispatch (``_tick_core``) plus the
+    drift-check scalars.  The per-tick host loop then costs a single
+    round-trip over the device tunnel instead of six (the reference does the
+    same work in one process, main.cpp:135-190)."""
+    new_density, new_extra, small, new_gps = _tick_core(
+        model, mass, dt, density, extra, gps, diag_params, off_params,
+        evolve_dist, track_moments, coh_fit_extra, coh_len_div, block_diag,
+    )
     mc_purity = jnp.sum(OBS.purity_each_element(new_density))
     return (new_density, new_extra, small, new_gps, new_gps.population(),
             new_gps.purity(), mc_purity)
@@ -146,29 +190,20 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
                 track_moments: str = "none", coh_fit_extra: int = 0,
                 coh_len_div: float = 2.0, block_diag: bool = False):
     """A whole CHUNK of ticks in ONE dispatch: ``lax.scan`` over
-    evolve+refit, carrying (density, extra, gps).  Per-tick activation flags
-    are stacked out so the host can detect an element change mid-chunk and
-    fall back to the tick-by-tick path (rare).  This is the scan-over-ticks
-    form SURVEY.md section 7 calls for: on the remote TPU backend a per-tick
-    dispatch costs ~0.2 s of tunnel latency, so chunking is a ~10x wall-time
-    lever for full trajectories."""
+    ``_tick_core``, carrying (density, extra, gps).  Per-tick activation
+    flags are stacked out so the host can detect an element change mid-chunk
+    and fall back to the tick-by-tick path (rare).  This is the
+    scan-over-ticks form SURVEY.md section 7 calls for: on the remote TPU
+    backend a per-tick dispatch costs ~0.2 s of tunnel latency, so chunking
+    is a ~10x wall-time lever for full trajectories."""
 
     def body(carry, _):
         density, extra, gps = carry
-        new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
-        new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
-        small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
-        dgp, ogp = (
-            moment_kernel_params(
-                new_density, diag_params, off_params,
-                off_extra=_off_extra_slice(new_extra, coh_fit_extra),
-                off_len_div=coh_len_div, track_diag=(track_moments == "all"),
-            )
-            if track_moments != "none" else (diag_params, off_params)
+        new_density, new_extra, small, new_gps = _tick_core(
+            model, mass, dt, density, extra, gps, diag_params, off_params,
+            evolve_dist, track_moments, coh_fit_extra, coh_len_div,
+            block_diag,
         )
-        new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps,
-                                off_extra=_off_extra_slice(new_extra, coh_fit_extra),
-                                block_diag=block_diag)
         return (new_density, new_extra, new_gps), small
 
     (density, extra, gps), smalls = jax.lax.scan(
@@ -182,13 +217,21 @@ def _ticks_scan(model: str, mass: float, dt: float, density: Density,
 _observe_all = partial(jax.jit, static_argnums=(0, 3))(OBS.observe_all)
 
 
-def _regen_extra_core(use_cutoff: bool, coh_k: int, n_extra: int,
+def _regen_extra_core(use_cutoff, coh_k: int, n_extra: int,
                       density: Density, prev_extra: Density, gps, keys) -> Density:
     """Regenerate the extra clouds from a fresh fit (reference mc.cpp:59-120
     via main.cpp:165-172), traced inline: one key per element (zeros for
     inactive elements -- their outputs are masked), carried booster labels
-    preserved for the off-diagonal (see GPLEDriver._make_extra)."""
-    dists = GP_DIST_ELEMS if use_cutoff else GP_DIST_ELEMS_NOCUT
+    preserved for the off-diagonal (see GPLEDriver._make_extra).
+    ``use_cutoff`` is the static GPLEConfig.evolve_cutoff mode
+    (False / True / "coh")."""
+    if use_cutoff == "coh":
+        dists = tuple(
+            GP_DIST_ELEMS[k] if k == OFFDIAG_INDEX else GP_DIST_ELEMS_NOCUT[k]
+            for k in range(NUM_ELEMENTS)
+        )
+    else:
+        dists = GP_DIST_ELEMS if use_cutoff else GP_DIST_ELEMS_NOCUT
     pts, rho = [], []
     for k in range(NUM_ELEMENTS):
         p, r = mc.generate_extra_points_element(
@@ -213,7 +256,7 @@ def _regen_extra_core(use_cutoff: bool, coh_k: int, n_extra: int,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 8))
-def _reopt_epilogue(use_cutoff: bool, coh_k: int, n_extra: int,
+def _reopt_epilogue(use_cutoff, coh_k: int, n_extra: int,
                     density: Density, prev_extra: Density,
                     diag_params, off_params, keys,
                     block_diag: bool = False):
@@ -256,7 +299,7 @@ _SURR_RES = 256
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _surrogate_grid(model: str, mass: float, dt: float, elem: int,
-                    use_cutoff: bool, gps, lo, hi):
+                    use_cutoff, gps, lo, hi):
     """|backward-branching prediction| of one element on a regular grid, in
     ONE batched predictor call (the Metropolis chains then interpolate it,
     see mc.element_monte_carlo ``walk``)."""
@@ -264,7 +307,7 @@ def _surrogate_grid(model: str, mass: float, dt: float, elem: int,
     ps = jnp.linspace(lo[1], hi[1], _SURR_RES)
     X, P = jnp.meshgrid(xs, ps, indexing="ij")
     pts = jnp.stack([X.ravel(), P.ravel()], axis=-1)
-    dist = gp_dist_all if use_cutoff else gp_dist_all_nocut
+    dist = _evolve_dist_for(use_cutoff)
     vals = EV.predict_new_points(model, mass, dt, pts, elem, dist, gps)
     return ri.absval(vals).reshape(_SURR_RES, _SURR_RES)
 
@@ -359,7 +402,7 @@ def _split_chain(key, count: int):
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 25))
 def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
-                      reopt_freq: int, use_cutoff: bool, track_moments: str,
+                      reopt_freq: int, use_cutoff, track_moments: str,
                       coh_k: int, n_extra: int, off_len_div: float,
                       measured_target: bool, pop_rescale: bool,
                       density: Density, extra: Density, gps: GPStates,
@@ -402,24 +445,14 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
     pre-reopt; the post-reopt values the host loop would report are returned
     separately as ``obs_last`` and spliced in by the caller.
     """
-    evolve_dist = gp_dist_all if use_cutoff else gp_dist_all_nocut
+    evolve_dist = _evolve_dist_for(use_cutoff)
 
     def tick(carry, check_i):
         density, extra, gps, dp, op, fpop, fpur, ftgt = carry
-        new_density = EV.evolve_step(model, mass, dt, density, evolve_dist, gps)
-        new_extra = EV.evolve_step(model, mass, dt, extra, evolve_dist, gps)
-        small = EV.is_very_small(model, mass, dt, new_density, gp_dist_all, gps)
-        dgp, ogp = (
-            moment_kernel_params(
-                new_density, dp, op,
-                off_extra=_off_extra_slice(new_extra, coh_k),
-                off_len_div=off_len_div, track_diag=(track_moments == "all"),
-            )
-            if track_moments != "none" else (dp, op)
+        new_density, new_extra, small, new_gps = _tick_core(
+            model, mass, dt, density, extra, gps, dp, op, evolve_dist,
+            track_moments, coh_k, off_len_div, block_diag,
         )
-        new_gps = fit_gp_states(dgp, ogp, new_density, prev=gps,
-                                off_extra=_off_extra_slice(new_extra, coh_k),
-                                block_diag=block_diag)
         pop = new_gps.population()
         pur = new_gps.purity()
         mc_pur = jnp.sum(OBS.purity_each_element(new_density))
@@ -442,6 +475,7 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
         # cloud re-selection flags, evaluated where the host would (pre-reopt)
         resel = jnp.any(_cloud_drift_flags(density))
         target = outs["target"][-1]
+        pop_s = jnp.asarray(1.0, dtype=density.rho.dtype)
         if pop_rescale:
             # population-conservation rescale of the diagonal labels, the
             # in-graph replica of GPLEDriver._pop_conservation_rescale
@@ -450,6 +484,7 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
             tot = jnp.sum(density.rho[diag_idx][..., 0])
             s = pop_sum0 / jnp.where(tot == 0.0, 1.0, tot)
             s = jnp.where((tot > 0.0) & (s >= 0.5) & (s <= 2.0), s, 1.0)
+            pop_s = s
             density = density._replace(
                 rho=density.rho.at[diag_idx, :, 0].multiply(s))
             if measured_target:
@@ -467,7 +502,7 @@ def _ticks_scan_fused(model: str, mass: float, dt: float, n_periods: int,
                      gps2.population(), gps2.purity(),
                      jnp.maximum(target, 1e-30))
         out = dict(small=outs["small"], drift=outs["drift"], resel=resel,
-                   err=err, obs=outs["obs"], obs_last=obs_last)
+                   err=err, obs=outs["obs"], obs_last=obs_last, pop_s=pop_s)
         return new_carry, out
 
     carry = (density, extra, gps, diag_params, off_params,
@@ -647,7 +682,7 @@ class GPLEDriver:
 
     def _new_point_dist(self, params, pts, *, elem: int):
         gps = params
-        dist = gp_dist_all if self.cfg.evolve_cutoff else gp_dist_all_nocut
+        dist = _evolve_dist_for(self.cfg.evolve_cutoff)
         return EV.predict_new_points(
             self.cfg.model, self.cfg.mass, self.cfg.dt, pts, elem, dist, gps
         )
@@ -805,7 +840,7 @@ class GPLEDriver:
         cfg = self.cfg
         t0 = _time.perf_counter()
         diag_params, off_params = self.optimizer.fitted_params()
-        evolve_dist = gp_dist_all if cfg.evolve_cutoff else gp_dist_all_nocut
+        evolve_dist = _evolve_dist_for(cfg.evolve_cutoff)
         density, extra, gps, smalls, pop, pur, mc_pur = _ticks_scan(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, self.gps,
             diag_params, off_params, n_ticks, evolve_dist, self._track_moments,
@@ -917,7 +952,7 @@ class GPLEDriver:
             for k in range(NUM_ELEMENTS)
         ])
         self.gps, self.extra, pop, pur = _reopt_epilogue(
-            bool(cfg.evolve_cutoff), self._coh_k, cfg.num_extra_points,
+            cfg.evolve_cutoff, self._coh_k, cfg.num_extra_points,
             density, self.extra, diag_params, off_params, keys,
             self._block_diag(),
         )
@@ -958,7 +993,7 @@ class GPLEDriver:
             )
             diag_params, off_params = self.optimizer.fitted_params()
             self.gps, self.extra, pop, pur = _reopt_epilogue(
-                bool(cfg.evolve_cutoff), self._coh_k, cfg.num_extra_points,
+                cfg.evolve_cutoff, self._coh_k, cfg.num_extra_points,
                 density, self.extra, diag_params, off_params, keys,
                 self._block_diag(),
             )
@@ -981,7 +1016,7 @@ class GPLEDriver:
         gps = self.gps
         t0 = _time.perf_counter()
         diag_params, off_params = self.optimizer.fitted_params()
-        evolve_dist = gp_dist_all if cfg.evolve_cutoff else gp_dist_all_nocut
+        evolve_dist = _evolve_dist_for(cfg.evolve_cutoff)
         density, extra, small, new_gps, pop, pur, mc_pur = _tick_fused(
             cfg.model, cfg.mass, cfg.dt, self.density, self.extra, gps,
             diag_params, off_params, evolve_dist, self._track_moments,
@@ -1094,8 +1129,14 @@ class GPLEDriver:
         if k == OFFDIAG_INDEX:
             pre = float(np.sum(old[:, 0] ** 2 + old[:, 1] ** 2))
             post = float(np.sum(new[:, 0] ** 2 + new[:, 1] ** 2))
-            if (nascent_ref is not None and np.sqrt(max(pre, 0.0))
-                    < self.RELABEL_NASCENT_FRAC * nascent_ref):
+            # nascent test compares LIKE with LIKE: the L1 sum of |rho| scales
+            # with num_points * mean exactly as the diagonal point-sum
+            # reference does (an L2 norm scales as sqrt(N) * rms, so at
+            # production N a resolved coherence could still classify as
+            # nascent and bypass the continuity band -- ADVICE r4)
+            pre_l1 = float(np.sum(np.sqrt(old[:, 0] ** 2 + old[:, 1] ** 2)))
+            if (nascent_ref is not None
+                    and pre_l1 < self.RELABEL_NASCENT_FRAC * nascent_ref):
                 self.stats["relabel_nascent"] = (
                     self.stats.get("relabel_nascent", 0) + 1)
                 return 1.0
@@ -1137,7 +1178,7 @@ class GPLEDriver:
         lo = lo - 0.5 * span
         hi = hi + 0.5 * span
         grid = _surrogate_grid(cfg.model, cfg.mass, cfg.dt, elem,
-                               bool(cfg.evolve_cutoff), gps, lo, hi)
+                               cfg.evolve_cutoff, gps, lo, hi)
         return (_surrogate_dist, (grid, lo, hi))
 
     def _track_clouds(self, density: Density) -> Density:
@@ -1331,7 +1372,7 @@ class GPLEDriver:
         ref = self._fit_ref
         carry, stacks = _ticks_scan_fused(
             cfg.model, cfg.mass, cfg.dt, n_periods, rf,
-            bool(cfg.evolve_cutoff), self._track_moments, self._coh_k,
+            cfg.evolve_cutoff, self._track_moments, self._coh_k,
             cfg.num_extra_points, self._coh_div_eff,
             cfg.purity_target == "measured", bool(cfg.pop_rescale),
             self.density, self.extra, self.gps, diag_params, off_params,
@@ -1383,6 +1424,13 @@ class GPLEDriver:
         opt.off_magnitude = float(opn.magnitude)
         self._fit_ref = {"pop": float(fpop), "pur": float(fpur),
                          "target": float(ftgt)}
+        if cfg.pop_rescale:
+            # applied in-graph rescales count toward the same stat as the
+            # host path's, so fused runs do not under-report (ADVICE r4)
+            applied = int(np.sum(np.abs(host["pop_s"] - 1.0) > 1e-6))
+            if applied:
+                self.stats["pop_rescales"] = (
+                    self.stats.get("pop_rescales", 0) + applied)
         if n_periods:
             self.opt_result = OptResult(
                 error=float(host["err"][-1]),

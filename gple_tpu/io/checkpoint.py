@@ -60,9 +60,17 @@ def save_checkpoint(path: str, driver, tick: int) -> None:
 
 def load_checkpoint(path: str, driver) -> int:
     """Restore a driver saved with :func:`save_checkpoint`; returns the tick
-    to resume from."""
+    to resume from.  Logs a phase breakdown through ``driver._log``: the
+    round-4 warm TPU run burned 511 s inside this function with the init
+    cache ON (benchmarks/r04/parity_tpu_sac_n256_warm.json init=510.7) and
+    the artifact could not say which part -- the npz read, the refit
+    dispatch (remote compile / executable load over the axon tunnel), or
+    the observable pulls."""
+    import time as _time
+
     from gple_tpu.gp.opt import Optimizer
 
+    _t0 = _time.perf_counter()
     with np.load(path) as z:
         driver.key = jnp.asarray(z["key"])
         driver.density = Density(
@@ -117,7 +125,9 @@ def load_checkpoint(path: str, driver) -> int:
         tick = int(z["tick"])
         opt_error = float(z["opt_error"]) if "opt_error" in z else 0.0
         opt_type = str(z["opt_type"]) if "opt_type" in z else "resumed"
+    _t1 = _time.perf_counter()
     driver.gps = driver._refit(driver.density)
+    _t2 = _time.perf_counter()
     if driver.cfg.purity_target == "measured":
         from gple_tpu import observables as OBS
         from gple_tpu.utils.constants import purity_factor
@@ -130,4 +140,7 @@ def load_checkpoint(path: str, driver) -> int:
         target = driver.purity
     driver._record_fit_ref(target)
     driver.opt_result = type("R", (), {"error": opt_error, "opt_type": opt_type})()
+    _t3 = _time.perf_counter()
+    driver._log(f"restore phases: npz={_t1 - _t0:.1f}s refit={_t2 - _t1:.1f}s "
+                f"obs={_t3 - _t2:.1f}s")
     return tick

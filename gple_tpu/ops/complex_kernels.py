@@ -244,16 +244,6 @@ def fit_complex(params: ComplexKernelParams, features, labels,
     """
     from gple_tpu.ops.linalg import psd_inverse, psd_inverse_warm
 
-    labels = jnp.asarray(labels)
-    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-30)
-    y = labels * rescale
-    if chirp:
-        # fit the ENVELOPE: demodulate by the estimated fringe wavevector
-        # (see estimate_chirp; k = 0 reproduces the reference kernel exactly)
-        chirp_k = estimate_chirp(features, y)
-        y = ri.phase_mul(y, -(features @ chirp_k))
-    else:
-        chirp_k = jnp.zeros(features.shape[-1], dtype=features.dtype)
     n = features.shape[-2]
     k64, kt_re64, kt_im64 = covariance_matrices(params, features, features, same=True)
     if block_diag:
@@ -267,19 +257,61 @@ def fit_complex(params: ComplexKernelParams, features, labels,
             # a select that executes BOTH branches (see storage.fit_gp_states)
             w11 = psd_inverse_warm(b1, w_warm[0])
             w22 = psd_inverse_warm(b2, w_warm[1])
-        p_re = 0.5 * (w11 + w22)
-        q_re = 0.5 * (w11 - w22)
-        p_im = jnp.zeros_like(p_re)
-        q_im = jnp.zeros_like(q_re)
+        return finish_complex_fit(params, features, labels,
+                                  k64, kt_re64, kt_im64, w11, w22,
+                                  chirp=chirp)
+    labels = jnp.asarray(labels)
+    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-30)
+    y = labels * rescale
+    if chirp:
+        # fit the ENVELOPE: demodulate by the estimated fringe wavevector
+        # (see estimate_chirp; k = 0 reproduces the reference kernel exactly)
+        chirp_k = estimate_chirp(features, y)
+        y = ri.phase_mul(y, -(features @ chirp_k))
     else:
-        m = jnp.block([[k64 + kt_re64, kt_im64], [kt_im64, k64 - kt_re64]])
-        w = psd_inverse(m) if w_warm is None else psd_inverse_warm(m, w_warm)
-        w11, w12 = w[:n, :n], w[:n, n:]
-        w21, w22 = w[n:, :n], w[n:, n:]
-        p_re = 0.5 * (w11 + w22)
-        p_im = 0.5 * (w21 - w12)
-        q_re = 0.5 * (w11 - w22)
-        q_im = -0.5 * (w21 + w12)
+        chirp_k = jnp.zeros(features.shape[-1], dtype=features.dtype)
+    m = jnp.block([[k64 + kt_re64, kt_im64], [kt_im64, k64 - kt_re64]])
+    w = psd_inverse(m) if w_warm is None else psd_inverse_warm(m, w_warm)
+    w11, w12 = w[:n, :n], w[:n, n:]
+    w21, w22 = w[n:, :n], w[n:, n:]
+    p_re = 0.5 * (w11 + w22)
+    p_im = 0.5 * (w21 - w12)
+    q_re = 0.5 * (w11 - w22)
+    q_im = -0.5 * (w21 + w12)
+    return _assemble_complex_state(
+        params, features, y, rescale, chirp_k,
+        k64, kt_re64, kt_im64, p_re, p_im, q_re, q_im,
+    )
+
+
+def finish_complex_fit(params: ComplexKernelParams, features, labels,
+                       k64, kt_re64, kt_im64, w11, w22,
+                       chirp: bool = False) -> ComplexTrainState:
+    """Block-diagonal (corr = 0) state assembly AFTER the two SPD inverses:
+    P/Q from the W blocks, then the refined augmented solve.  Split out of
+    :func:`fit_complex` so the production refit can batch these two solves
+    with the diagonal elements' (storage.fit_gp_states)."""
+    labels = jnp.asarray(labels)
+    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(ri.absval(labels)), 1e-30)
+    y = labels * rescale
+    if chirp:
+        chirp_k = estimate_chirp(features, y)
+        y = ri.phase_mul(y, -(features @ chirp_k))
+    else:
+        chirp_k = jnp.zeros(features.shape[-1], dtype=features.dtype)
+    p_re = 0.5 * (w11 + w22)
+    q_re = 0.5 * (w11 - w22)
+    p_im = jnp.zeros_like(p_re)
+    q_im = jnp.zeros_like(q_re)
+    return _assemble_complex_state(
+        params, features, y, rescale, chirp_k,
+        k64, kt_re64, kt_im64, p_re, p_im, q_re, q_im,
+    )
+
+
+def _assemble_complex_state(params, features, y, rescale, chirp_k,
+                            k64, kt_re64, kt_im64,
+                            p_re, p_im, q_re, q_im) -> ComplexTrainState:
     # enforce the exact symmetries (P Hermitian, Q complex symmetric)
     p_re = 0.5 * (p_re + p_re.T)
     p_im = 0.5 * (p_im - p_im.T)

@@ -159,6 +159,29 @@ class RealTrainState(NamedTuple):
     alpha: jnp.ndarray           # (N,) K^-1 labels (rescaled)
 
 
+def finish_real_fit(params: KernelParams, features, labels_raw, k,
+                    kinv) -> RealTrainState:
+    """State assembly AFTER the SPD inverse: label rescale + refined alpha.
+
+    Split out of :func:`fit_real` so the production refit can solve all four
+    of the step's SPD systems in ONE batched Newton-Schulz chain
+    (storage.fit_gp_states via linalg.psd_inverse_warm_batched) and finish
+    each element here."""
+    from gple_tpu.ops.linalg import refine_solve
+
+    labels_real = jnp.real(labels_raw)
+    # clip guards the all-zero-label case (inactive elements carry zeros by
+    # design, storage.py): an unbounded 10/1e-300 rescale overflows every
+    # downstream rescale**2, and 0 * inf = NaN poisons the labels themselves
+    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-30)
+    y = labels_real * rescale
+    alpha = refine_solve(kinv, k, y, iters=3)
+    return RealTrainState(
+        params=params, features=features, labels=y, rescale=rescale,
+        kinv=kinv, alpha=alpha,
+    )
+
+
 def fit_real(params: KernelParams, features, labels_raw,
              kinv_warm=None) -> RealTrainState:
     """Factorize the training kernel (reference TrainingKernel ctor).
@@ -168,21 +191,11 @@ def fit_real(params: KernelParams, features, labels_raw,
     tick's inverse) switches the TPU inverse to the warm-started
     Newton-Schulz (ops/linalg.py) -- the per-tick refit path.
     """
-    from gple_tpu.ops.linalg import psd_inverse, psd_inverse_warm, refine_solve
+    from gple_tpu.ops.linalg import psd_inverse, psd_inverse_warm
 
-    labels_real = jnp.real(labels_raw)
-    # clip guards the all-zero-label case (inactive elements carry zeros by
-    # design, storage.py): an unbounded 10/1e-300 rescale overflows every
-    # downstream rescale**2, and 0 * inf = NaN poisons the labels themselves
-    rescale = RESCALE_MAXIMUM / jnp.maximum(jnp.max(jnp.abs(labels_real)), 1e-30)
-    y = labels_real * rescale
     k = kernel_matrix(params, features, features, same=True)
     kinv = psd_inverse(k) if kinv_warm is None else psd_inverse_warm(k, kinv_warm)
-    alpha = refine_solve(kinv, k, y, iters=3)
-    return RealTrainState(
-        params=params, features=features, labels=y, rescale=rescale,
-        kinv=kinv, alpha=alpha,
-    )
+    return finish_real_fit(params, features, labels_raw, k, kinv)
 
 
 def kinv_diagonal(state: RealTrainState) -> jnp.ndarray:

@@ -67,7 +67,7 @@ def _ns_scan(k, x, iters: int):
     conditionings) the f64 continuation cannot recover from -- measured as a
     0.8% population error on otherwise exact fits."""
     with jax.default_matmul_precision("highest"):
-        eye2 = 2.0 * jnp.eye(k.shape[0], dtype=k.dtype)
+        eye2 = 2.0 * jnp.eye(k.shape[-1], dtype=k.dtype)
 
         def body(x, _):
             return x @ (eye2 - k @ x), None
@@ -130,19 +130,29 @@ def _newton_schulz_inverse(k, f32_iters: int = NS_F32_MAX_ITERS,
     CONTRACTS (Richardson rate 1 - 1/kappa): pathological conditioning
     degrades to a slow-but-finite solve instead of a silent divergent
     inverse.  The guard is branch-free (jnp.where), so it stays cheap under
-    the optimizer's vmapped linesearch fan."""
+    the optimizer's vmapped linesearch fan.
+
+    Batch-generic: ``k`` may be (..., N, N); all reductions/guards are
+    per-matrix and the scan chain runs ONE batched matmul per step, so a
+    (4, N, N) stack costs the same chain length as one matrix with 4x the
+    MXU work per step (the production fit batches its four SPD solves this
+    way, storage.fit_gp_states)."""
     k32 = k.astype(jnp.float32)
-    norminf = jnp.max(jnp.sum(jnp.abs(k32), axis=1))
-    x0 = jnp.eye(k.shape[0], dtype=jnp.float32) / norminf
+    n = k.shape[-1]
+    norminf = jnp.max(jnp.sum(jnp.abs(k32), axis=-1), axis=-1)
+    x0 = jnp.eye(n, dtype=jnp.float32) / norminf[..., None, None]
     x = _ns_scan(k32, x0, f32_iters)
     with jax.default_matmul_precision("highest"):
-        resid32 = jnp.max(jnp.abs(jnp.eye(k.shape[0], dtype=jnp.float32) - k32 @ x))
+        resid32 = jnp.max(
+            jnp.abs(jnp.eye(n, dtype=jnp.float32) - k32 @ x), axis=(-2, -1)
+        )
     bad = ~jnp.isfinite(resid32) | (resid32 >= 1.0)
-    x = jnp.where(bad, x0, jnp.where(jnp.isfinite(x), x, 0.0)).astype(k.dtype)
+    x = jnp.where(bad[..., None, None], x0,
+                  jnp.where(jnp.isfinite(x), x, 0.0)).astype(k.dtype)
     x = _ns_scan(k, x, f64_iters)
     # symmetrize only AFTER convergence: the one-sided iterate's asymmetry is
     # kappa * residual and vanishes with it
-    return 0.5 * (x + x.T)
+    return 0.5 * (x + jnp.swapaxes(x, -1, -2))
 
 
 def triangular_inverse_lower(low):
@@ -210,10 +220,11 @@ def _psd_inverse_jvp(primals, tangents):
 def _ns_warm_finish(k, x_warm, f64_iters: int):
     # two f32 steps take the ~1e-2 per-tick residual to the f32 floor at
     # ~1/30 of the f64-emulated cost, then the standard f64 continuation
+    # (batch-generic like _newton_schulz_inverse)
     x32 = _ns_scan(k.astype(jnp.float32), x_warm.astype(jnp.float32), 2)
     x32 = jnp.where(jnp.isfinite(x32), x32, 0.0)
     x = _ns_scan(k, x32.astype(k.dtype), f64_iters)
-    return 0.5 * (x + x.T)
+    return 0.5 * (x + jnp.swapaxes(x, -1, -2))
 
 
 def _newton_schulz_warm(k, x_warm, iters: int = NS_F64_WARM_ITERS):
@@ -249,6 +260,57 @@ def psd_inverse_warm(k, x_warm):
     differentiated."""
     return jax.lax.platform_dependent(
         k, x_warm, cpu=lambda k, _: _direct_inverse(k), default=_newton_schulz_warm
+    )
+
+
+def psd_inverse_batched(ks):
+    """Batched :func:`psd_inverse` over a stack of SPD matrices (B, N, N).
+
+    On TPU the Newton-Schulz chain is SEQUENTIAL (each step consumes the
+    last), so B separate inverses cost B chains of small matmuls run one
+    after another; a single batched chain runs the same ~34 steps with B
+    stacked matmuls per step -- the MXU sees B-fold larger work per dispatch
+    and the chain's latency is paid once.  This is the round-5 MFU lever
+    (VERDICT r4 task 7): the production fit's four (N, N) solves (two
+    diagonal elements + the two corr=0 complex blocks) run as ONE (4, N, N)
+    chain.  No custom JVP: the per-tick refits that use this are never
+    differentiated."""
+    return jax.lax.platform_dependent(
+        ks, cpu=jax.vmap(_direct_inverse), default=_newton_schulz_inverse
+    )
+
+
+def _newton_schulz_warm_batched(ks, xs_warm):
+    """Batched warm-start Newton-Schulz with an ALL-OR-NONE warmth decision:
+    the residual of every matrix in the stack is probed; if all are warm the
+    whole stack takes the cheap warm finish, otherwise the whole stack takes
+    the cold path.  The predicate is a scalar, so ``lax.cond`` executes ONE
+    branch (a per-matrix cond under vmap would batch into a select running
+    both).  In production the matrices warm and cool together -- per-tick
+    point motion is small for every element, and the events that reset one
+    cloud (reseeding, reopt parameter jumps) reset them all."""
+    k32 = ks.astype(jnp.float32)
+    n = ks.shape[-1]
+    with jax.default_matmul_precision("highest"):
+        resid = jnp.max(
+            jnp.abs(jnp.eye(n, dtype=jnp.float32) - k32 @ xs_warm.astype(jnp.float32)),
+            axis=(-2, -1),
+        )
+    ok = jnp.all(jnp.isfinite(resid) & (resid < 0.5))
+    return jax.lax.cond(
+        ok,
+        lambda: _ns_warm_finish(ks, xs_warm, NS_F64_WARM_ITERS),
+        lambda: _newton_schulz_inverse(ks),
+    )
+
+
+def psd_inverse_warm_batched(ks, xs_warm):
+    """Batched :func:`psd_inverse_warm` over (B, N, N) stacks (see
+    :func:`psd_inverse_batched` for why batching pays on TPU)."""
+    return jax.lax.platform_dependent(
+        ks, xs_warm,
+        cpu=lambda k, _: jax.vmap(_direct_inverse)(k),
+        default=_newton_schulz_warm_batched,
     )
 
 

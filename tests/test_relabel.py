@@ -40,6 +40,7 @@ def crossing_driver():
         model="SAC", mass=2000.0, x0=-2.0, p0=20.0, sigma_p0=1.0,
         output_time=2.0, reopt_time=2.0, dt=1.0, num_points=32,
         coh_fit_extra=32, coh_len_div=6.0, coh_boost_rescale=True,
+        relabel_conserve=True,  # the booster config the flag is kept for
         seed=3,
     )
     drv = GPLEDriver(cfg)
@@ -173,6 +174,38 @@ def test_nascent_element_relabel_bypasses_the_band():
     new_o = np.full((4, 2), 0.05)
     assert drv._relabel_scale(OFFDIAG_INDEX, old_o, new_o,
                               nascent_ref=1.0) == 1.0
+
+
+def test_resolved_coherence_is_not_nascent_at_production_n():
+    """ADVICE r4: at production cloud sizes (N = 256) a RESOLVED coherence --
+    per-point |rho| comparable to the diagonal mean -- must NOT classify as
+    nascent.  The pre-fix rule compared an L2 norm (scales sqrt(N) * rms)
+    against 5% of a linear point-sum (scales N * mean), so the threshold was
+    cloud-size dependent: exactly this case slipped under it."""
+    cfg = GPLEConfig(model="SAC", num_points=256, relabel_conserve=True)
+    drv = GPLEDriver(cfg)
+    n = 256
+    # diagonals carry population 1.0 spread over N points
+    nascent_ref = 1.0
+    # resolved coherence: |rho| half the diagonal per-point mean
+    amp = 0.5 * (nascent_ref / n)
+    old_o = np.zeros((n, 2))
+    old_o[:, 0] = amp * np.cos(np.linspace(0, 30, n))
+    old_o[:, 1] = amp * np.sin(np.linspace(0, 30, n))
+    # sanity: the legacy L2 rule WOULD have classified this nascent
+    l2 = np.sqrt(np.sum(old_o**2))
+    assert l2 < drv.RELABEL_NASCENT_FRAC * nascent_ref
+    # a relabel doubling the purity share must be caught by the band (scale
+    # 1/sqrt(2)), NOT accepted unscaled through the nascent bypass
+    new_o = np.sqrt(2.0) * old_o
+    s = drv._relabel_scale(OFFDIAG_INDEX, old_o, new_o, nascent_ref=nascent_ref)
+    assert s == pytest.approx(1.0 / np.sqrt(2.0))
+    assert drv.stats.get("relabel_nascent", 0) == 0
+    # a genuinely tiny coherence still takes the bypass
+    s2 = drv._relabel_scale(OFFDIAG_INDEX, old_o * 1e-3, new_o,
+                            nascent_ref=nascent_ref)
+    assert s2 == 1.0
+    assert drv.stats.get("relabel_nascent", 0) == 1
 
 
 def test_relabel_conserve_off_reproduces_legacy_jump(crossing_driver,
