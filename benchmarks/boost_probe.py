@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--no-track", action="store_true",
                     help="track_clouds=False (also freezes diagonal "
                     "re-selection, fully isolating channel (a))")
+    ap.add_argument("--mask-coh", action="store_true",
+                    help="GPLEConfig.relabel_mask_coh: mask the coherence "
+                    "out of DIAGONAL relabel queries (channel (b) fix: the "
+                    "(1,1) relabel integrals went corrupt-negative through "
+                    "the off-diagonal rotation term)")
     ap.add_argument("--out", default=None)
     opts = ap.parse_args()
 
@@ -71,6 +76,7 @@ def main():
         coh_fit_extra=opts.coh_extra if opts.coh_extra is not None else opts.n,
         coh_len_div=opts.div, coh_boost_rescale=True,
         relabel_conserve=True, coh_reselect=False,
+        relabel_mask_coh=opts.mask_coh,
         track_clouds=not opts.no_track,
         evolve_cutoff="coh" if opts.coh_cutoff else False,
         fused_chunk=0,

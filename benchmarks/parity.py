@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--coh-reselect", type=int, default=None, choices=[0, 1],
                     help="GPLEConfig.coh_reselect (0 freezes the boosted "
                     "coherence cloud out of drift re-selection)")
+    ap.add_argument("--evolve-cutoff", default=None, choices=["0", "1", "coh"],
+                    help="GPLEConfig.evolve_cutoff (coh = variance-cutoff "
+                    "only the coherence's evolution queries)")
     opts = ap.parse_args()
 
     import jax
@@ -97,6 +100,8 @@ def main():
            if opts.relabel_mask_coh is not None else {}),
         **({"coh_reselect": bool(opts.coh_reselect)}
            if opts.coh_reselect is not None else {}),
+        **({"evolve_cutoff": {"0": False, "1": True, "coh": "coh"}[opts.evolve_cutoff]}
+           if opts.evolve_cutoff is not None else {}),
     )
     # exact oracle on the same physics, interaction region +-2|x0|
     se_cfg = DVRConfig(

@@ -1135,22 +1135,44 @@ class GPLEDriver:
             # production N a resolved coherence could still classify as
             # nascent and bypass the continuity band -- ADVICE r4)
             pre_l1 = float(np.sum(np.sqrt(old[:, 0] ** 2 + old[:, 1] ** 2)))
-            if (nascent_ref is not None
-                    and pre_l1 < self.RELABEL_NASCENT_FRAC * nascent_ref):
-                self.stats["relabel_nascent"] = (
-                    self.stats.get("relabel_nascent", 0) + 1)
-                return 1.0
+            post_l1 = float(np.sum(np.sqrt(new[:, 0] ** 2 + new[:, 1] ** 2)))
+            thresh = (self.RELABEL_NASCENT_FRAC * nascent_ref
+                      if nascent_ref is not None else None)
+            if thresh is not None and pre_l1 < thresh:
+                # the bypass trusts the predictor only within nascent SCALE:
+                # a relabel claiming the element already carries well beyond
+                # the nascent band is a corrupt query, not growth (measured:
+                # the div-6 coh-cutoff probe's (1,1) relabel jumped the
+                # diagonal sum by -2.8/40 in one tick and NaN'd the fit,
+                # benchmarks/r05/boost_probe_cohcut.jsonl tick 140)
+                if post_l1 <= 2.0 * thresh:
+                    self.stats["relabel_nascent"] = (
+                        self.stats.get("relabel_nascent", 0) + 1)
+                    return 1.0
+                self._log("nascent relabel REJECTED (post integral "
+                          f"{post_l1:.3g} beyond 2x nascent band)")
+                return None
             if post <= 0.0 or pre <= 0.0:
                 return None
             s = float(np.sqrt(pre / post))
         else:
             pre = float(np.sum(old[:, 0]))
             post = float(np.sum(new[:, 0]))
-            if (nascent_ref is not None
-                    and abs(pre) < self.RELABEL_NASCENT_FRAC * nascent_ref):
-                self.stats["relabel_nascent"] = (
-                    self.stats.get("relabel_nascent", 0) + 1)
-                return 1.0
+            thresh = (self.RELABEL_NASCENT_FRAC * nascent_ref
+                      if nascent_ref is not None else None)
+            if thresh is not None and abs(pre) < thresh:
+                # nascent-scale sanity on the accepted labels: a GROWING
+                # diagonal's integral is positive and still near nascent
+                # scale; a net-negative or many-times-threshold relabel is a
+                # corrupt query (the coh-cutoff probe's one-tick -2.8 jump,
+                # benchmarks/r05/boost_probe_cohcut.jsonl tick 140)
+                if post > 0.0 and post <= 2.0 * thresh:
+                    self.stats["relabel_nascent"] = (
+                        self.stats.get("relabel_nascent", 0) + 1)
+                    return 1.0
+                self._log("nascent relabel REJECTED (post integral "
+                          f"{post:.3g} outside (0, 2x nascent band])")
+                return None
             if post == 0.0 or pre == 0.0 or (pre > 0) != (post > 0):
                 return None  # sign flip: the relabel query is corrupt
             s = pre / post

@@ -169,11 +169,36 @@ def test_nascent_element_relabel_bypasses_the_band():
     # a HEALTHY element (integral at system scale) keeps the band
     old_d[:, 0] = 0.25
     assert drv._relabel_scale(0, old_d, new_d, nascent_ref=1.0) is None
-    # nascent coherence: same bypass on the |rho|^2 share
+    # nascent coherence: same bypass on the |rho| L1 scale
     old_o = np.full((4, 2), 1e-4)
-    new_o = np.full((4, 2), 0.05)
+    new_o = np.full((4, 2), 0.015)
     assert drv._relabel_scale(OFFDIAG_INDEX, old_o, new_o,
                               nascent_ref=1.0) == 1.0
+
+
+def test_nascent_bypass_sanity_bounds():
+    """The bypass trusts the predictor only within nascent SCALE: a relabel
+    claiming a net-negative diagonal or a many-times-threshold integral is a
+    corrupt query, not growth (the div-6 coh-cutoff probe's one-tick -2.8
+    population jump, benchmarks/r05/boost_probe_cohcut.jsonl tick 140)."""
+    cfg = GPLEConfig(model="SAC", num_points=8, relabel_conserve=True)
+    drv = GPLEDriver(cfg)
+    old_d = np.zeros((4, 2))
+    old_d[:, 0] = 1e-4        # nascent: pre far below 5% of ref
+    # net-NEGATIVE relabel of a growing diagonal -> rejected
+    neg = np.zeros((4, 2))
+    neg[:, 0] = -0.7
+    assert drv._relabel_scale(0, old_d, neg, nascent_ref=1.0) is None
+    # far beyond the nascent band (> 2 x 5% of ref) -> rejected
+    huge = np.zeros((4, 2))
+    huge[:, 0] = 0.2          # sum 0.8 >> 0.1
+    assert drv._relabel_scale(0, old_d, huge, nascent_ref=1.0) is None
+    # coherence: L1 far beyond the band -> rejected
+    old_o = np.full((4, 2), 1e-4)
+    big_o = np.full((4, 2), 0.2)
+    assert drv._relabel_scale(OFFDIAG_INDEX, old_o, big_o,
+                              nascent_ref=1.0) is None
+    assert drv.stats.get("relabel_nascent", 0) == 0
 
 
 def test_resolved_coherence_is_not_nascent_at_production_n():
@@ -201,8 +226,10 @@ def test_resolved_coherence_is_not_nascent_at_production_n():
     s = drv._relabel_scale(OFFDIAG_INDEX, old_o, new_o, nascent_ref=nascent_ref)
     assert s == pytest.approx(1.0 / np.sqrt(2.0))
     assert drv.stats.get("relabel_nascent", 0) == 0
-    # a genuinely tiny coherence still takes the bypass
-    s2 = drv._relabel_scale(OFFDIAG_INDEX, old_o * 1e-3, new_o,
+    # a genuinely tiny coherence still takes the bypass -- for growth that
+    # stays within the 2x nascent band (a post integral far beyond it is a
+    # corrupt query, test_nascent_bypass_sanity_bounds)
+    s2 = drv._relabel_scale(OFFDIAG_INDEX, old_o * 1e-3, old_o * 0.05,
                             nascent_ref=nascent_ref)
     assert s2 == 1.0
     assert drv.stats.get("relabel_nascent", 0) == 1
