@@ -158,13 +158,15 @@ def fit_gp_states(
         off_pts = jnp.concatenate([off_pts, off_extra[0]], axis=0)
         off_rho = jnp.concatenate([off_rho, off_extra[1]], axis=0)
 
-    if block_diag:
+    import os as _os
+    if block_diag and _os.environ.get("GPLE_BATCHED_NS", "1") != "0":
         # THE production path: all four SPD systems of the step -- the two
         # diagonal element kernels and the two corr=0 complex blocks -- are
         # solved in batched Newton-Schulz chains.  The chain is sequential,
         # so stacking turns 4 chains of small matmuls into 1 chain of 4x
         # larger ones: same latency, 4x the MXU work per step (VERDICT r4
         # task 7; reference hot path kernel.cpp:281-283).
+        # GPLE_BATCHED_NS=0 restores the round-4 sequential path (A/B knob).
         k_d = jax.vmap(lambda p, x: RK.kernel_matrix(p, x, x, True))(
             diag_params, diag_pts
         )
@@ -215,9 +217,11 @@ def fit_gp_states(
                 kinv_warm=prev.diag.kinv[d],
             ))
         diag = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        w_warm = (prev.offdiag.diag_blocks() if block_diag
+                  else prev.offdiag.augmented_inverse())
         off = CK.fit_complex(
             offdiag_params, off_pts, off_rho,
-            w_warm=prev.offdiag.augmented_inverse(), block_diag=block_diag,
+            w_warm=w_warm, block_diag=block_diag,
         )
     return GPStates(diag=diag, offdiag=off, active=density.active)
 
