@@ -89,9 +89,14 @@ def fit_and_integrals(device, pts, y_diag, y_off, len_div, block_diag,
         noise=jnp.asarray(1e-2), corr=jnp.asarray(0.0),
     )
     with jax.default_device(device):
-        pts_d = jax.device_put(pts, device)
-        yd = jax.device_put(y_diag, device)
-        yo = jax.device_put(y_off, device)
+        # implicit placement via the default_device context: an EXPLICIT
+        # jax.device_put to the axon device dies with "TPU backend
+        # setup/compile error (Unavailable)" -- reproduced three times
+        # (r04 + two r05 attempts) while every parity/bench run in the same
+        # hours succeeded; commit-time arrays transfer fine
+        pts_d = jnp.asarray(np.asarray(pts))
+        yd = jnp.asarray(np.asarray(y_diag))
+        yo = jnp.asarray(np.asarray(y_off))
         if warm_from is None:
             st = RK.fit_real(dp, pts_d, yd)
             kw = None
